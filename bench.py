@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also measures frontier crawl throughput (URLs scheduled+fetched/sec)
+on a synthetic frontier when the crawl engine is available — that is
+the authoritative BASELINE.json metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from podcast_plow_spark.session import get_spark
+
+    spark = get_spark(app_name="pps-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footers with one cheap action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    t_total0 = time.perf_counter()
+    for name, fn in sorted(qs.items()):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # forces full execution without driver-collecting rows
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    total = round(time.perf_counter() - t_total0, 3)
+
+    # crawl throughput bench (authoritative metric) — runs when the
+    # crawl engine is present.
+    try:
+        from podcast_plow_spark.crawl.bench import frontier_throughput
+
+        crawl = frontier_throughput(spark, n_urls=int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "1000000")))
+        timings["frontier_throughput_urls_per_sec"] = round(crawl, 1)
+    except Exception:  # noqa: BLE001 — engine not built yet / optional
+        pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (sum) at sf; plus frontier URLs/sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

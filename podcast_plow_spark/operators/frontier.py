@@ -1,0 +1,248 @@
+"""The frontier priority queue — the distributed analog of the
+reference's ``job_queue`` table + worker (reference
+``infra/initdb/002_jobs_and_chunks.sql:4-23``,
+``server/services/jobs.py``).
+
+Semantics reproduced (SURVEY.md §2.4):
+- Q1 enqueue: rows with (priority, run_at, attempts=0, max_attempts,
+  status='queued', deterministic ``seq``).
+- Q2 dequeue ordering — THE crawl ordering:
+  ``status='queued' AND run_at <= now ORDER BY priority DESC, run_at,
+  seq LIMIT k`` (reference ``server/services/jobs.py:259``). Spark
+  physical strategy: ``filter → orderBy(...).limit(k)`` compiles to
+  ``TakeOrderedAndProject`` — a distributed top-K (per-partition heap
+  + driver merge of K), NOT a global sort. At 10^10 frontier rows this
+  is the only scalable way to rank; no shuffle of the full frontier.
+- Q3/Q4 done/failed: status merge; backoff ``clamp(attempts*60, 30,
+  3600) × U(0.8, 1.2)`` re-clamped (reference
+  ``server/services/jobs.py:121-134``) — jitter here is a *seeded
+  deterministic* function of (fingerprint, attempt) so retries are
+  cluster-size invariant (SURVEY.md §7 "jitter reproducibility").
+- Q5 fingerprint dedup: newest active job per fingerprint wins
+  (reference ``server/services/jobs.py:166-182``,
+  ``server/api/jobs.py:352-423``).
+- Q10 stats: counts per status.
+
+Scale design: the frontier is stored partitioned by ``host_hash %
+num_partitions`` (politeness state co-location) and the runnable
+filter (`status`, `run_at`) is parquet-pushdown-friendly. Statuses are
+low-cardinality dictionary-encoded strings.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from podcast_plow_spark.functions.urls import host_hash_col
+
+__all__ = [
+    "FRONTIER_SCHEMA",
+    "STATUS_QUEUED",
+    "STATUS_RUNNING",
+    "STATUS_FINISHED",
+    "STATUS_FAILED",
+    "enqueue",
+    "dequeue_batch",
+    "mark_done",
+    "mark_failed",
+    "backoff_delay_col",
+    "dedupe_by_fingerprint",
+    "queue_stats",
+]
+
+STATUS_QUEUED = "queued"
+STATUS_RUNNING = "running"
+STATUS_FINISHED = "finished"
+STATUS_FAILED = "failed"
+ACTIVE_STATUSES = (STATUS_QUEUED, STATUS_RUNNING)
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("url_canon", StringType()),
+        StructField("host", StringType()),
+        StructField("host_hash", IntegerType()),
+        StructField("fingerprint", StringType()),
+        StructField("priority", IntegerType()),
+        StructField("run_at", TimestampType()),
+        StructField("attempts", IntegerType()),
+        StructField("max_attempts", IntegerType()),
+        StructField("status", StringType()),
+        StructField("discovered_epoch", LongType()),
+        StructField("seq", LongType()),
+        StructField("error", StringType()),
+        StructField("payload", MapType(StringType(), StringType())),
+    ]
+)
+
+#: canonical dequeue sort key — reference server/services/jobs.py:259
+DEQUEUE_ORDER = lambda: [F.col("priority").desc(), F.col("run_at").asc(), F.col("seq").asc()]  # noqa: E731
+
+
+def enqueue(
+    candidates: DataFrame,
+    *,
+    epoch: int,
+    default_priority: int = 0,
+    max_attempts: int = 3,
+    num_partitions: int = 32,
+    seq_base: int = 0,
+    run_at: dt.datetime | None = None,
+) -> DataFrame:
+    """Turn candidate rows (url, url_canon, host, fingerprint,
+    [priority], [run_at], [seq_key...]) into frontier rows.
+
+    ``seq`` is assigned deterministically by ``row_number`` over the
+    caller-supplied insertion order key (``seq_key`` column if present,
+    else ``(url_canon)``) — never ``monotonically_increasing_id`` (it is
+    partition-layout dependent; SURVEY.md §4.3).
+    """
+    cols = candidates.columns
+    order = [F.col("seq_key").asc()] if "seq_key" in cols else [F.col("url_canon").asc()]
+    w = Window.orderBy(*order)
+    df = candidates.withColumn("seq", F.row_number().over(w).cast("long") + F.lit(seq_base))
+    if "priority" not in cols:
+        df = df.withColumn("priority", F.lit(default_priority))
+    if "run_at" not in cols:
+        df = df.withColumn("run_at", F.lit(run_at or dt.datetime(1970, 1, 1)).cast("timestamp"))
+    if "payload" not in cols:
+        df = df.withColumn("payload", F.lit(None).cast(MapType(StringType(), StringType())))
+    df = (
+        df.withColumn("host_hash", host_hash_col(F.col("host"), num_partitions))
+        .withColumn("priority", F.col("priority").cast("int"))
+        .withColumn("attempts", F.lit(0))
+        .withColumn("max_attempts", F.lit(max_attempts))
+        .withColumn("status", F.lit(STATUS_QUEUED))
+        .withColumn("discovered_epoch", F.lit(epoch).cast("long"))
+        .withColumn("error", F.lit(None).cast("string"))
+    )
+    return df.select([f.name for f in FRONTIER_SCHEMA.fields])
+
+
+def runnable(frontier: DataFrame, now: dt.datetime) -> DataFrame:
+    """Runnable predicate — pushed down to the parquet scan."""
+    return frontier.where(
+        (F.col("status") == STATUS_QUEUED) & (F.col("run_at") <= F.lit(now))
+    )
+
+
+def dequeue_batch(
+    frontier: DataFrame,
+    k: int,
+    now: dt.datetime,
+    job_types: list[str] | None = None,
+) -> DataFrame:
+    """Top-K runnable rows in canonical order, with a ``crawl_rank``
+    column giving the exact dequeue sequence (1-based).
+
+    Physical plan: TakeOrderedAndProject (distributed heap top-K) —
+    verified in tests/test_plans.py. The rank window runs on ≤ k rows.
+    """
+    df = runnable(frontier, now)
+    if job_types:
+        df = df.where(F.element_at(F.col("payload"), "job_type").isin(job_types))
+    batch = df.orderBy(*DEQUEUE_ORDER()).limit(k)
+    w = Window.orderBy(*DEQUEUE_ORDER())
+    return batch.withColumn("crawl_rank", F.row_number().over(w).cast("long"))
+
+
+def _status_merge(frontier: DataFrame, updates: DataFrame, new_status: str, **set_cols: Column) -> DataFrame:
+    """MERGE-style status update: rows whose ``seq`` appears in
+    ``updates`` get ``new_status`` (+ extra column assignments).
+
+    With an Iceberg catalog this is ``MERGE INTO``; the parquet
+    fallback expresses it as a broadcast left join (updates ≤ batch
+    size, always broadcastable)."""
+    upd = updates.select(F.col("seq").alias("__useq"), *[c.alias(f"__u_{n}") for n, c in set_cols.items()])
+    joined = frontier.join(F.broadcast(upd), frontier["seq"] == upd["__useq"], "left")
+    matched = F.col("__useq").isNotNull()
+    out = joined.withColumn("status", F.when(matched, F.lit(new_status)).otherwise(F.col("status")))
+    for name in set_cols:
+        out = out.withColumn(name, F.when(matched, F.col(f"__u_{name}")).otherwise(F.col(name)))
+    return out.drop("__useq", *[f"__u_{n}" for n in set_cols])
+
+
+def mark_done(frontier: DataFrame, done: DataFrame) -> DataFrame:
+    """Q3: status='finished', error cleared (reference
+    server/services/jobs.py:279-285)."""
+    return _status_merge(frontier, done, STATUS_FINISHED, error=F.lit(None).cast("string"))
+
+
+def backoff_delay_col(attempts: Column, fingerprint: Column) -> Column:
+    """Deterministic jittered backoff (reference
+    server/services/jobs.py:121-134): base = clamp(attempts*60, 30,
+    3600); delay = base × U(0.8, 1.2); re-clamp to [30, 3600].
+
+    The uniform draw is a pure function of (fingerprint, attempts):
+    crc32 of the pair mapped into [0,1). Cluster-size invariant, unlike
+    ``F.rand`` whose stream depends on partition layout.
+    """
+    base = F.greatest(F.lit(30), F.least(attempts.cast("long") * 60, F.lit(3600)))
+    u = (
+        F.crc32(F.encode(F.concat_ws("#", fingerprint, attempts.cast("string")), "utf-8"))
+        % F.lit(1_000_000)
+    ) / F.lit(1_000_000.0)
+    delay = F.round(base * (F.lit(0.8) + F.lit(0.4) * u)).cast("long")
+    return F.greatest(F.lit(30), F.least(delay, F.lit(3600)))
+
+
+def mark_failed(frontier: DataFrame, failed: DataFrame, now: dt.datetime, error: str = "fetch error") -> DataFrame:
+    """Q4: attempts+1; if exhausted → failed, else requeue at
+    now+backoff (reference server/services/jobs.py:288-341)."""
+    upd = failed.select(
+        F.col("seq").alias("__useq"),
+        (F.col("attempts") + 1).alias("__new_attempts"),
+        F.col("max_attempts").alias("__ma"),
+        backoff_delay_col(F.col("attempts"), F.col("fingerprint")).alias("__delay"),
+    )
+    joined = frontier.join(F.broadcast(upd), frontier["seq"] == upd["__useq"], "left")
+    matched = F.col("__useq").isNotNull()
+    exhausted = matched & (F.col("__new_attempts") >= F.col("__ma"))
+    requeued = matched & ~(F.col("__new_attempts") >= F.col("__ma"))
+    out = (
+        joined.withColumn(
+            "status",
+            F.when(exhausted, F.lit(STATUS_FAILED))
+            .when(requeued, F.lit(STATUS_QUEUED))
+            .otherwise(F.col("status")),
+        )
+        .withColumn("attempts", F.when(matched, F.col("__new_attempts")).otherwise(F.col("attempts")))
+        .withColumn(
+            "run_at",
+            F.when(requeued, F.lit(now).cast("timestamp") + F.col("__delay") * F.expr("INTERVAL 1 SECOND")).otherwise(
+                F.col("run_at")
+            ),
+        )
+        .withColumn("error", F.when(matched, F.lit(error)).otherwise(F.col("error")))
+    )
+    return out.drop("__useq", "__new_attempts", "__ma", "__delay")
+
+
+def dedupe_by_fingerprint(candidates: DataFrame, frontier: DataFrame | None) -> DataFrame:
+    """Q5: drop candidates whose fingerprint already has an *active*
+    (queued/running) frontier row; also first-wins within the batch
+    (reference server/api/jobs.py:352-423, ACTIVE_STATUSES :36)."""
+    w = Window.partitionBy("fingerprint").orderBy(F.col("seq_key").asc() if "seq_key" in candidates.columns else F.col("url_canon").asc())
+    fresh = candidates.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    if frontier is None:
+        return fresh
+    active = frontier.where(F.col("status").isin(*ACTIVE_STATUSES)).select("fingerprint").distinct()
+    return fresh.join(active, "fingerprint", "left_anti")
+
+
+def queue_stats(frontier: DataFrame) -> DataFrame:
+    """Q10: ``GROUP BY status`` counts (reference server/manage.py:362-364)."""
+    return frontier.groupBy("status").agg(F.count(F.lit(1)).alias("n")).orderBy("status")

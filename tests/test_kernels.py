@@ -1,0 +1,128 @@
+"""Unit tests for the scalar kernels — frozen semantics.
+
+URL canonicalization + fingerprint parity scenarios mirror the
+reference test strategy (tests/test_youtube_ingest.py,
+tests/test_jobs_service_queue.py) without copying fixtures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from podcast_plow_spark.functions.urls import (
+    canonicalize_url,
+    extract_host,
+    fixup_scheme,
+    host_hash_py,
+    normalize_youtube_url,
+    url_fingerprint,
+)
+
+
+class TestCanonicalizeUrl:
+    def test_lowercases_scheme_and_host(self):
+        assert canonicalize_url("HTTP://ExAmPle.COM/Path") == "http://example.com/Path"
+
+    def test_strips_fragment(self):
+        assert canonicalize_url("https://a.com/x#frag") == "https://a.com/x"
+
+    def test_strips_tracking_params_keeps_others(self):
+        got = canonicalize_url("https://a.com/x?utm_source=tw&id=3&fbclid=zz&b=2")
+        assert got == "https://a.com/x?id=3&b=2"
+
+    def test_default_port_stripped(self):
+        assert canonicalize_url("https://a.com:443/x") == "https://a.com/x"
+        assert canonicalize_url("http://a.com:8080/x") == "http://a.com:8080/x"
+
+    def test_scheme_relative(self):
+        assert canonicalize_url("//cdn.a.com/i.png") == "https://cdn.a.com/i.png"
+
+    def test_percent_decode_unreserved(self):
+        assert canonicalize_url("https://a.com/%7Euser/%41%2Fb") == "https://a.com/~user/A%2Fb"
+
+    def test_empty_path_becomes_slash(self):
+        assert canonicalize_url("https://a.com") == "https://a.com/"
+
+    def test_collapses_duplicate_slashes(self):
+        assert canonicalize_url("https://a.com//x///y") == "https://a.com/x/y"
+
+    def test_none_and_blank(self):
+        assert canonicalize_url(None) is None
+        assert canonicalize_url("   ") is None
+
+    def test_idempotent(self):
+        u = "https://A.com:443//x/%7Ey?utm_medium=a&q=1#f"
+        once = canonicalize_url(u)
+        assert canonicalize_url(once) == once
+
+
+class TestYoutubeKernel:
+    # parity scenarios vs reference server/ingest/youtube.py:18-89
+    def test_watch_url(self):
+        assert (
+            normalize_youtube_url("https://www.youtube.com/watch?v=dQw4w9WgXcQ")
+            == "https://www.youtube.com/watch?v=dQw4w9WgXcQ"
+        )
+
+    def test_youtu_be(self):
+        assert (
+            normalize_youtube_url("https://youtu.be/dQw4w9WgXcQ?t=30")
+            == "https://www.youtube.com/watch?v=dQw4w9WgXcQ"
+        )
+
+    def test_shorts_and_embed_and_live(self):
+        for path in ("shorts", "embed", "live"):
+            got = normalize_youtube_url(f"https://www.youtube.com/{path}/dQw4w9WgXcQ")
+            assert got == "https://www.youtube.com/watch?v=dQw4w9WgXcQ", path
+
+    def test_rejects_non_youtube_host(self):
+        assert normalize_youtube_url("https://vimeo.com/watch?v=dQw4w9WgXcQ") is None
+
+    def test_rejects_bad_id_length(self):
+        assert normalize_youtube_url("https://youtu.be/short") is None
+
+    def test_fixup_scheme_relative(self):
+        assert fixup_scheme("//www.youtube.com/watch?v=x") == "https://www.youtube.com/watch?v=x"
+        assert fixup_scheme("youtu.be/abc") == "https://youtu.be/abc"
+        assert fixup_scheme("page.html", "https://a.com/dir/") == "https://a.com/dir/page.html"
+
+
+class TestFingerprint:
+    def test_byte_parity_with_reference_algorithm(self):
+        # reference server/services/jobs.py:166-182
+        payload = {"b": 1, "a": "ü"}
+        expected = hashlib.sha256(
+            ("summarize:" + json.dumps(payload, sort_keys=True, separators=(",", ":"), ensure_ascii=False)).encode()
+        ).hexdigest()
+        assert url_fingerprint("summarize", payload) == expected
+
+    def test_empty_payload(self):
+        assert url_fingerprint("t") == hashlib.sha256(b"t:{}").hexdigest()
+
+    def test_type_stripped(self):
+        assert url_fingerprint("  t  ", {}) == url_fingerprint("t", {})
+
+
+class TestHost:
+    def test_extract_host(self):
+        assert extract_host("https://A.example.com:8443/x") == "a.example.com"
+        assert extract_host("example.com/path") == "example.com"
+        assert extract_host(None) is None
+
+    def test_host_hash_buckets_stable(self):
+        assert host_hash_py("a.com", 32) == host_hash_py("a.com", 32)
+        assert 0 <= host_hash_py("a.com", 32) < 32
+
+
+class TestParaphrase:
+    def test_leading_phrase_fixpoint(self):
+        from podcast_plow_spark.functions.text import paraphrase
+
+        got = paraphrase("The host says that creatine improves memory")
+        assert got == "The speaker maintains that creatine enhances memory."
+
+    def test_terminal_punctuation_added(self):
+        from podcast_plow_spark.functions.text import paraphrase
+
+        assert paraphrase("Magnesium helps sleep").endswith(".")
