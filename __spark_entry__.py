@@ -421,27 +421,15 @@ ORDER BY nationkey
 
 # ----------------------------------------------------------------------
 # Similarity — brute-force cosine top-k over embeddings (training-data op)
+# BLAS-vectorized mapInPandas with broadcast corpus (see
+# podcast_plow_spark/operators/similarity.py for the 100 TB LSH path).
 # ----------------------------------------------------------------------
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from podcast_plow_spark.operators.similarity import cosine_topk_pairs
+
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
-    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
-    dot = F.aggregate(
-        F.zip_with("a_vec", "b_vec", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a_, x: a_ + x)
-    )
-    cos = (dot / (norm(F.col("a_vec")) * norm(F.col("b_vec"))))
-    return (
-        pairs.select("a_id", "b_id", F.round(cos, 4).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col("a_id").asc(), F.col("b_id").asc())
-        .limit(50)
-    )
+    return cosine_topk_pairs(spark, emb, "vec_id", "embedding", k=50)
 
 
 _SQL_COSINE = """
@@ -477,6 +465,106 @@ FROM documents
 
 
 # ----------------------------------------------------------------------
+# Dedup family (training-data ops; podcast_plow_spark/operators/dedup.py)
+# ----------------------------------------------------------------------
+
+_SQL_SHINGLES_CTE = r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[s:s+2], ' ') AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, greatest(0, len(toks)-2))) AS s)
+)
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from podcast_plow_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k_shingle=3, jaccard_threshold=0.5)
+
+
+_SQL_NGRAM_JACCARD = _SQL_SHINGLES_CTE + """
+, sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, ROUND(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 4) AS jaccard
+FROM common JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
+WHERE n_common * 1.0 / (na.n_sh + nb.n_sh - n_common) >= 0.5
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from podcast_plow_spark.operators.dedup import simhash64
+
+    return simhash64(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle_sql() -> str:
+    votes = ",\n".join(
+        f"SUM(CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS v{bit}" for bit in range(60)
+    )
+    fp = " + ".join(f"(CASE WHEN v{bit} > 0 THEN CAST({2**bit} AS BIGINT) ELSE 0 END)" for bit in range(60))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, CAST('0x' || substr(sha256(tok), 1, 15) AS BIGINT) AS h
+  FROM toks WHERE tok <> ''
+), agg AS (
+  SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {fp} AS simhash FROM agg
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from podcast_plow_spark.operators.dedup import minhash_signatures, word_shingles
+
+    sh = word_shingles(_t(spark, sf_dir, "documents"), k=3)
+    return minhash_signatures(sh, num_hashes=16, seed=42)
+
+
+def _minhash_oracle_sql() -> str:
+    from podcast_plow_spark.operators.dedup import MINHASH_P, _affine_params
+
+    cols = ",\n".join(
+        f"MIN((h * {a} + {b}) % {MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(_affine_params(16, 42))
+    )
+    return (
+        _SQL_SHINGLES_CTE
+        + f"""
+, hashed AS (
+  SELECT doc_id, CAST('0x' || substr(sha256(shingle), 1, 15) AS BIGINT) % {MINHASH_P} AS h FROM sh
+)
+SELECT doc_id, {cols} FROM hashed GROUP BY doc_id
+"""
+    )
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified. Non-SQL-expressible
+    banding → rows-only driver check; recall vs the exact n-gram
+    Jaccard operator is asserted in tests/test_dedup.py."""
+    from podcast_plow_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k_shingle=3, num_hashes=16, n_bands=4, jaccard_threshold=0.5
+    )
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path) — probabilistic recall, rows-only
+    check; recall floor asserted in tests/test_similarity.py."""
+    from podcast_plow_spark.operators.similarity import lsh_cosine_topk_pairs
+
+    return lsh_cosine_topk_pairs(spark, _t(spark, sf_dir, "embeddings"), k=50)
+
+
+# ----------------------------------------------------------------------
 # driver API
 # ----------------------------------------------------------------------
 
@@ -505,6 +593,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_nationkeys": q_union_nationkeys,
         "cosine_topk": q_cosine_topk,
         "doc_quality": q_doc_quality,
+        "ngram_jaccard_dedup": q_ngram_jaccard,
+        "simhash_fingerprints": q_simhash,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
     }
 
 
@@ -528,4 +621,10 @@ def oracle_sql() -> dict[str, str]:
         "union_nationkeys": _SQL_UNION,
         "cosine_topk": _SQL_COSINE,
         "doc_quality": _SQL_DOC_QUALITY,
+        "ngram_jaccard_dedup": _SQL_NGRAM_JACCARD,
+        "simhash_fingerprints": _simhash_oracle_sql(),
+        "minhash_signatures": _minhash_oracle_sql(),
+        # minhash_lsh_dedup / lsh_cosine_topk: banding + hyperplane LSH
+        # are not SQL-expressible → rows-only driver check; recall
+        # floors asserted in tests/test_dedup.py / tests/test_similarity.py
     }

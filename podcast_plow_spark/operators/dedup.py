@@ -1,0 +1,231 @@
+"""Deduplication families over the ``documents`` table (training-data
+ops; scale substitutes for the reference's exact keyed dedup —
+reference ``server/services/claims.py:55-105``, ``worker/
+claim_extraction.py:343-371``).
+
+Engine-independent hashing discipline: every hash that must match a
+SQL oracle is derived from sha256 hex (first 15 hex chars → int64 via
+base-16 parse), never from Spark's ``hash()`` or DuckDB's ``hash()``
+(both engine-specific). MinHash permutations are affine maps
+``(a·h + b) mod P`` with P = 1e9+7 so products stay inside int64.
+
+Families:
+- exact_dedup         — hash-groupBy on normalized text (exact).
+- word_shingles       — k-word shingle extraction (shared substrate).
+- minhash_signatures  — per-doc minhash vector (num_hashes).
+- minhash_lsh_pairs   — band → bucket → equi-join candidate pairs,
+                        verified with exact shingle Jaccard.
+- simhash64           — 64-bit simhash fingerprint per document.
+- ngram_jaccard_pairs — inverted-index (explode + self-join) exact
+                        n-gram Jaccard above a threshold.
+- embedding near-dup lives in operators/similarity.py (cosine ≥ τ).
+
+Scale notes: all pair generation goes through equi-joins on
+shingle/bucket keys (shuffle on key, AQE-skew-split for hot shingles);
+nothing ever materializes the O(N²) pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalized_text_col",
+    "exact_dedup",
+    "word_shingles",
+    "shingle_hash_col",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "ngram_jaccard_pairs",
+]
+
+MINHASH_P = 1_000_000_007
+
+
+def normalized_text_col(text: Column) -> Column:
+    """Same normalise kernel as the claim dedup key (reference
+    worker/claim_extraction.py:312-316)."""
+    c = F.lower(text)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: first (min-id) doc per normalized-text hash.
+    Returns (norm_key, primary_id, dup_count)."""
+    key = F.sha2(normalized_text_col(F.col(text_col)), 256).alias("norm_key")
+    return (
+        docs.select(key, F.col(id_col))
+        .groupBy("norm_key")
+        .agg(F.min(id_col).alias("primary_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per doc: (id, shingle)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(F.array().cast("array<int>"))
+    return (
+        docs.select(F.col(id_col), toks.alias("__toks"), starts.alias("__starts"))
+        .select(F.col(id_col), F.explode("__starts").alias("__s"), F.col("__toks"))
+        .select(F.col(id_col), F.array_join(F.slice("__toks", F.col("__s"), k), " ").alias("shingle"))
+        .distinct()
+    )
+
+
+def shingle_hash_col(shingle: Column) -> Column:
+    """Engine-independent int64 hash: first 15 hex chars of sha256."""
+    return F.conv(F.substring(F.sha2(shingle, 256), 1, 15), 16, 10).cast("long")
+
+
+def _affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for minhash permutations — a simple
+    LCG stream so the SQL oracle can enumerate the same constants."""
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = state % (MINHASH_P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = state % MINHASH_P
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc minhash signature columns mh0..mh{n-1}.
+
+    One aggregation: ``min((a_i·h + b_i) mod P)`` per hash — map-side
+    combinable, single shuffle on id."""
+    h = (shingle_hash_col(F.col("shingle")) % MINHASH_P).alias("__h")
+    base = shingled.select(F.col(id_col), h)
+    aggs = [
+        F.min((F.col("__h") * a + b) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_affine_params(num_hashes, seed))
+    ]
+    return base.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified.
+
+    band signature = concat of its rows' minhashes; candidate pairs
+    from an equi-join on (band, signature); candidates are verified
+    with exact shingle Jaccard and filtered at the threshold. Returns
+    (a_id, b_id, jaccard)."""
+    rows_per_band = num_hashes // n_bands
+    sh = word_shingles(docs, id_col, text_col, k_shingle).cache()
+    sig = minhash_signatures(sh, id_col, num_hashes, seed)
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bsig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+
+    a = bands.select(F.col(id_col).alias("a_id"), "band", "bsig")
+    b = bands.select(F.col(id_col).alias("b_id"), "band", "bsig")
+    cand = a.join(b, ["band", "bsig"]).where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
+
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cand.join(sh.select(F.col(id_col).alias("a_id"), "shingle"), "a_id")
+        .join(sh.select(F.col(id_col).alias("b_id"), "shingle"), ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a")), "a_id")
+        .join(sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b")), "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+    return out
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document from token sha256-derived bits.
+
+    For each of 60 bit positions (15 hex chars = 60 bits), the bit's
+    vote is +1 if set else -1, summed over distinct tokens; the final
+    fingerprint bit is 1 iff the sum is positive. Pure Column
+    expressions; one groupBy(id)."""
+    toks = F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tok")
+    base = docs.select(F.col(id_col), toks).where(F.col("tok") != "")
+    h = F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 15), 16, 10).cast("long")
+    base = base.select(F.col(id_col), h.alias("__h"))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("__h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+            f"v{bit}"
+        )
+        for bit in range(60)
+    ]
+    agg = base.groupBy(id_col).agg(*votes)
+    fp = None
+    for bit in range(60):
+        term = F.when(F.col(f"v{bit}") > 0, F.lit(2**bit).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs above threshold via inverted-index
+    self-join (never materializes non-colliding pairs)."""
+    sh = word_shingles(docs, id_col, text_col, k_shingle)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("a_id"), "shingle")
+    b = sh.select(F.col(id_col).alias("b_id"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a")), "a_id")
+        .join(sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b")), "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("a_id", "b_id", "jaccard")
+    )

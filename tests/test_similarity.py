@@ -1,0 +1,54 @@
+"""Similarity-search invariants: brute-force is the exactness anchor;
+LSH recall has a floor on the top of the ranking."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from podcast_plow_spark.operators.similarity import (
+    cosine_topk_pairs,
+    lsh_cosine_topk_pairs,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_brute_force_topk_shape(spark, emb):
+    rows = cosine_topk_pairs(spark, emb, k=20).collect()
+    assert len(rows) == 20
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    for r in rows:
+        assert r["a_id"] < r["b_id"]
+        assert -1.0001 <= r["cos_sim"] <= 1.0001
+
+
+def test_lsh_candidates_recall_floor(spark, emb):
+    exact = {(r["a_id"], r["b_id"]) for r in cosine_topk_pairs(spark, emb, k=10).collect()}
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in lsh_cosine_topk_pairs(spark, emb, k=200, n_planes=16, n_bands=8).collect()
+    }
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall} on top-10 exact pairs"
+
+
+def test_lsh_is_subset_of_true_cosines(spark, emb):
+    # every LSH-reported similarity must equal the exact cosine for that pair
+    lsh = lsh_cosine_topk_pairs(spark, emb, k=20).collect()
+    if not lsh:
+        pytest.skip("no LSH pairs at this scale")
+    exact_all = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in cosine_topk_pairs(spark, emb, k=5000).collect()
+    }
+    for r in lsh:
+        key = (r["a_id"], r["b_id"])
+        if key in exact_all:
+            assert abs(exact_all[key] - r["cos_sim"]) < 1e-6
