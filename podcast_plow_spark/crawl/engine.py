@@ -1,0 +1,271 @@
+"""The epoch-driven distributed crawl engine.
+
+Each epoch mirrors one turn of the reference's worker poll loop
+(``server/manage.py:498-529``) at batch scale (SURVEY.md §3.2):
+
+    dequeue batch (Q2 ordering + politeness cap)
+      → fetch (feeds: parse+explode entries; images: payload join)
+      → canonicalize → robots gate → within-epoch dedup
+      → URL-seen filter (blocked Bloom fast path + exact anti-join)
+      → enqueue new frontier rows (deterministic seq)
+      → mark batch done → lineage rows → ATOMIC snapshot commit
+
+One snapshot per epoch ⇒ the crawl is resumable from any epoch
+(north rule); ``CrawlEngine(..., resume=True)`` continues from the
+latest committed snapshot and produces byte-identical final state
+(tested in tests/test_crawl_engine.py).
+
+Scale design notes (10^10 frontier):
+- dequeue = filter → per-host rank (window partitioned by host — the
+  shuffle key is host_hash, co-locating politeness state) → global
+  ``orderBy().limit(K)`` = TakeOrderedAndProject (distributed top-K,
+  no global sort).
+- crawl_rank / seq windows run on ≤ K or ≤ fan-out(K) rows per epoch,
+  never on the full frontier.
+- the ``bytes`` image column is touched only by the payload join and
+  the invariant job — column pruning keeps every other scan narrow.
+- the seen filter's Bloom is rebuilt per epoch from the frontier at
+  fixture scale; at 10^10 it is maintained incrementally (add the
+  epoch's insertions) — the exact anti-join backstop is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from podcast_plow_spark.functions.urls import canonicalize_url_udf, extract_host_udf
+from podcast_plow_spark.operators import frontier as fr
+from podcast_plow_spark.operators.politeness import robots_filter
+from podcast_plow_spark.operators.seen import build_bloom, seen_filter_exact
+from podcast_plow_spark.sources.feeds import fetch_and_parse_feeds, load_seeds
+from podcast_plow_spark.sources.snapshots import SnapshotStore
+
+__all__ = ["CrawlConfig", "CrawlEngine"]
+
+DEQUEUE_ORDER = fr.DEQUEUE_ORDER
+
+
+@dataclass
+class CrawlConfig:
+    batch_size: int = 64
+    per_host_cap: int = 2
+    user_agent: str = "plow-spark"
+    num_partitions: int = 8
+    use_bloom: bool = True
+    bloom_bits_per_item: int = 12
+    max_attempts: int = 3
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SnapshotStore,
+        fixtures_root: str,
+        image_table_path: str | None = None,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.fixtures_root = fixtures_root
+        self.image_table_path = image_table_path
+        self.cfg = config or CrawlConfig()
+        self._robots_bodies: dict[str, str] | None = None
+
+    # -- helpers ---------------------------------------------------------
+
+    def _robots(self) -> dict[str, str]:
+        if self._robots_bodies is None:
+            bodies: dict[str, str] = {}
+            sites = os.path.join(self.fixtures_root, "sites")
+            if os.path.isdir(sites):
+                for host in os.listdir(sites):
+                    p = os.path.join(sites, host, "robots.txt")
+                    if os.path.exists(p):
+                        with open(p) as fh:
+                            bodies[host] = fh.read()
+            self._robots_bodies = bodies
+        return self._robots_bodies
+
+    def _project_candidates(self, raw: DataFrame) -> DataFrame:
+        """(url, seq_key[, parent info]) → canonicalized, robots-passed,
+        first-occurrence-deduped candidate rows ready for enqueue."""
+        c = raw.withColumn("url_canon", canonicalize_url_udf(F.col("url")))
+        c = c.where(F.col("url_canon").isNotNull())
+        c = c.withColumn("host", extract_host_udf(F.col("url_canon")))
+        c = robots_filter(c, self._robots(), self.cfg.user_agent)
+        c = c.where(F.col("robots_ok")).drop("robots_ok")
+        w = Window.partitionBy("url_canon").orderBy(F.col("seq_key").asc())
+        c = c.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+        return c.withColumn("fingerprint", F.sha2(F.col("url_canon"), 256))
+
+    # -- bootstrap ---------------------------------------------------------
+
+    def bootstrap(self, seeds_path: str) -> None:
+        seeds = load_seeds(self.spark, seeds_path)
+        cand = self._project_candidates(seeds)
+        rows = fr.enqueue(
+            cand,
+            epoch=0,
+            max_attempts=self.cfg.max_attempts,
+            num_partitions=self.cfg.num_partitions,
+            seq_base=0,
+        )
+        n = rows.count()
+        self.store.write_table("frontier", rows)
+        empty_log = self.spark.createDataFrame(
+            [], "epoch long, crawl_rank long, url_canon string, host string, kind string"
+        )
+        self.store.write_table("crawl_log", empty_log)
+        self.store.write_table(
+            "lineage",
+            self.spark.createDataFrame(
+                [], "partition_id int, batch_epoch long, urls_in long, urls_out long, bloom_fpr double"
+            ),
+        )
+        self.store.write_table(
+            "fetched_images", self.spark.createDataFrame([], "image_id string, url_canon string, epoch long")
+        )
+        self.store.commit(0, {"epoch": 0, "next_seq": n + 1})
+
+    # -- one epoch ---------------------------------------------------------
+
+    def run_epoch(self) -> bool:
+        meta = self.store.latest_metadata()
+        epoch = int(meta.get("epoch", 0)) + 1
+        next_seq = int(meta.get("next_seq", 1))
+        frontier = self.store.read_table(self.spark, "frontier")
+        assert frontier is not None, "bootstrap first"
+        frontier = frontier.cache()
+
+        # --- dequeue with politeness cap (greedy-equivalent: per-host
+        # rank ≤ cap, then distributed top-K in canonical order)
+        runnable = frontier.where(F.col("status") == fr.STATUS_QUEUED)
+        w_host = Window.partitionBy("host").orderBy(*DEQUEUE_ORDER())
+        eligible = runnable.withColumn("__hr", F.row_number().over(w_host)).where(
+            F.col("__hr") <= self.cfg.per_host_cap
+        ).drop("__hr")
+        batch = eligible.orderBy(*DEQUEUE_ORDER()).limit(self.cfg.batch_size)
+        w_rank = Window.orderBy(*DEQUEUE_ORDER())
+        batch = batch.withColumn("crawl_rank", F.row_number().over(w_rank).cast("long")).cache()
+        if batch.count() == 0:
+            return False
+
+        kind = F.when(F.col("url_canon").endswith("feed.xml"), F.lit("feed")).otherwise(F.lit("image"))
+        batch = batch.withColumn("kind", kind)
+
+        # --- crawl log (the observable crawl ordering)
+        log_new = batch.select(
+            F.lit(epoch).cast("long").alias("epoch"), "crawl_rank", "url_canon", "host", "kind"
+        )
+        old_log = self.store.read_table(self.spark, "crawl_log")
+        self.store.write_table("crawl_log", old_log.unionByName(log_new))
+
+        # --- fetch: feeds → entries
+        feed_batch = batch.where(F.col("kind") == "feed").select(F.col("url_canon").alias("url"), "seq")
+        entries = fetch_and_parse_feeds(feed_batch, self.fixtures_root).where(
+            F.col("parse_error").isNull() & F.col("enclosure_url").isNotNull()
+        )
+        parent = batch.select(F.col("url_canon").alias("feed_url"), F.col("seq").alias("parent_seq"))
+        cand_raw = entries.join(parent, "feed_url").select(
+            F.col("enclosure_url").alias("url"),
+            (F.col("parent_seq") * F.lit(1_000_000) + F.col("entry_pos")).alias("seq_key"),
+        )
+
+        # --- fetch: images → payload rows
+        img_batch = batch.where(F.col("kind") == "image").select(
+            "url_canon",
+            # last *path* segment — query/fragment excluded (matches the
+            # oracle's urlparse().path semantics)
+            F.regexp_extract(F.col("url_canon"), r"/([^/?#]+)(?:[?#].*)?$", 1).alias("image_id"),
+        )
+        fetched_new = img_batch.select("image_id", "url_canon", F.lit(epoch).cast("long").alias("epoch"))
+        old_fetched = self.store.read_table(self.spark, "fetched_images")
+        self.store.write_table("fetched_images", old_fetched.unionByName(fetched_new))
+
+        # --- candidate projection + seen filter
+        cand = self._project_candidates(cand_raw)
+        seen = frontier.select("url_canon")
+        bloom = None
+        if self.cfg.use_bloom:
+            bloom = build_bloom(seen, "url_canon", bits_per_item=self.cfg.bloom_bits_per_item)
+        unseen, stats = seen_filter_exact(cand, seen, bloom, "url_canon", measure_fpr=self.cfg.use_bloom)
+
+        # --- enqueue (deterministic seq continues from next_seq)
+        new_rows = fr.enqueue(
+            unseen,
+            epoch=epoch,
+            max_attempts=self.cfg.max_attempts,
+            num_partitions=self.cfg.num_partitions,
+            seq_base=next_seq - 1,
+        )
+        n_new = new_rows.count()
+
+        # --- mark batch done, persist frontier
+        updated = fr.mark_done(frontier, batch.select("seq"))
+        new_frontier = updated.unionByName(new_rows)
+        self.store.write_table("frontier", new_frontier)
+
+        # --- lineage
+        urls_in = batch.count()
+        fpr_rows = stats.collect() if stats is not None else []
+        if fpr_rows:
+            lineage_new = self.spark.createDataFrame(
+                [
+                    (
+                        int(r["partition_id"]),
+                        epoch,
+                        int(r["urls_in"]),
+                        n_new,
+                        (float(r["false_pos"]) / r["urls_in"]) if r["urls_in"] else 0.0,
+                    )
+                    for r in fpr_rows
+                ],
+                "partition_id int, batch_epoch long, urls_in long, urls_out long, bloom_fpr double",
+            )
+        else:
+            lineage_new = self.spark.createDataFrame(
+                [(0, epoch, urls_in, n_new, 0.0)],
+                "partition_id int, batch_epoch long, urls_in long, urls_out long, bloom_fpr double",
+            )
+        old_lineage = self.store.read_table(self.spark, "lineage")
+        self.store.write_table("lineage", old_lineage.unionByName(lineage_new))
+
+        self.store.commit(epoch, {"epoch": epoch, "next_seq": next_seq + n_new})
+        frontier.unpersist()
+        batch.unpersist()
+        return True
+
+    # -- full run ------------------------------------------------------------
+
+    def run(self, seeds_path: str | None = None, max_epochs: int = 100, resume: bool = False) -> int:
+        if not resume:
+            assert seeds_path is not None
+            self.bootstrap(seeds_path)
+        epochs = 0
+        for _ in range(max_epochs):
+            if not self.run_epoch():
+                break
+            epochs += 1
+        return epochs
+
+    # -- observables (for parity checks) ---------------------------------
+
+    def crawl_order(self) -> list[str]:
+        log = self.store.read_table(self.spark, "crawl_log")
+        return [r["url_canon"] for r in log.orderBy("epoch", "crawl_rank").collect()]
+
+    def seen_set(self) -> set[str]:
+        frontier = self.store.read_table(self.spark, "frontier")
+        return {r["url_canon"] for r in frontier.select("url_canon").distinct().collect()}
+
+    def fetched_image_ids(self) -> list[str]:
+        t = self.store.read_table(self.spark, "fetched_images")
+        log = self.store.read_table(self.spark, "crawl_log").where(F.col("kind") == "image")
+        joined = t.join(log.select("url_canon", "epoch", "crawl_rank"), ["url_canon", "epoch"])
+        return [r["image_id"] for r in joined.orderBy("epoch", "crawl_rank").collect()]

@@ -55,7 +55,9 @@ __all__ = [
     "STATUS_FINISHED",
     "STATUS_FAILED",
     "enqueue",
+    "cluster_by_host",
     "dequeue_batch",
+    "dequeue_batch_scalable",
     "mark_done",
     "mark_failed",
     "backoff_delay_col",
@@ -101,19 +103,33 @@ def enqueue(
     num_partitions: int = 32,
     seq_base: int = 0,
     run_at: dt.datetime | None = None,
+    seq_mode: str = "dense",
 ) -> DataFrame:
     """Turn candidate rows (url, url_canon, host, fingerprint,
     [priority], [run_at], [seq_key...]) into frontier rows.
 
-    ``seq`` is assigned deterministically by ``row_number`` over the
-    caller-supplied insertion order key (``seq_key`` column if present,
-    else ``(url_canon)``) — never ``monotonically_increasing_id`` (it is
-    partition-layout dependent; SURVEY.md §4.3).
+    ``seq`` is assigned deterministically — never
+    ``monotonically_increasing_id`` (partition-layout dependent;
+    SURVEY.md §4.3). Two modes:
+
+    - ``dense``: ``row_number`` over the insertion-order key
+      (``seq_key`` if present, else ``url_canon``). Exactly mirrors the
+      reference's SERIAL ids, but the global window is a single-reducer
+      sort — only for parity-critical, bounded batches.
+    - ``keyed``: ``seq = seq_base + seq_key`` — order-isomorphic to
+      dense (seq only ever participates in ORDER BY, so any strictly
+      monotone mapping of the insertion key preserves the crawl
+      ordering) with **zero shuffle**. This is the 10^10-rows path; the
+      caller advances ``seq_base`` past the epoch's max key.
     """
     cols = candidates.columns
-    order = [F.col("seq_key").asc()] if "seq_key" in cols else [F.col("url_canon").asc()]
-    w = Window.orderBy(*order)
-    df = candidates.withColumn("seq", F.row_number().over(w).cast("long") + F.lit(seq_base))
+    if seq_mode == "keyed":
+        assert "seq_key" in cols, "keyed seq mode requires a unique seq_key column"
+        df = candidates.withColumn("seq", F.col("seq_key").cast("long") + F.lit(seq_base))
+    else:
+        order = [F.col("seq_key").asc()] if "seq_key" in cols else [F.col("url_canon").asc()]
+        w = Window.orderBy(*order)
+        df = candidates.withColumn("seq", F.row_number().over(w).cast("long") + F.lit(seq_base))
     if "priority" not in cols:
         df = df.withColumn("priority", F.lit(default_priority))
     if "run_at" not in cols:
@@ -130,6 +146,23 @@ def enqueue(
         .withColumn("error", F.lit(None).cast("string"))
     )
     return df.select([f.name for f in FRONTIER_SCHEMA.fields])
+
+
+def cluster_by_host(frontier: DataFrame, num_partitions: int) -> DataFrame:
+    """Physical layout for the stored frontier: hash-partitioned by
+    host, sorted within partitions by (host, dequeue key).
+
+    This is the parquet-fallback analog of an Iceberg table with
+    ``PARTITIONED BY (bucket(N, host))`` + ``WRITE ORDERED BY
+    (priority DESC, run_at, seq)`` (SURVEY.md §4 "queue composite
+    index"). With this layout the per-host politeness window needs
+    neither an exchange nor a sort — Catalyst sees the child's
+    hashpartitioning(host) and ordering already satisfy the window's
+    requirements, so dequeue degenerates to a streaming scan.
+    """
+    return frontier.repartition(num_partitions, F.col("host")).sortWithinPartitions(
+        F.col("host").asc(), F.col("priority").desc(), F.col("run_at").asc(), F.col("seq").asc()
+    )
 
 
 def runnable(frontier: DataFrame, now: dt.datetime) -> DataFrame:
@@ -157,6 +190,64 @@ def dequeue_batch(
     batch = df.orderBy(*DEQUEUE_ORDER()).limit(k)
     w = Window.orderBy(*DEQUEUE_ORDER())
     return batch.withColumn("crawl_rank", F.row_number().over(w).cast("long"))
+
+
+def dequeue_batch_scalable(
+    frontier: DataFrame,
+    k: int,
+    now: dt.datetime,
+    sample_rows: int = 20_000,
+    safety: float = 1.3,
+    with_rank: bool = True,
+) -> DataFrame:
+    """Top-K dequeue for LARGE K (the 10^10-frontier path).
+
+    ``with_rank=False`` skips the global crawl_rank window (a
+    single-partition sort of K rows) when the caller only needs the
+    batch *set* — ordering is still fully determined by ``seq``.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject, which
+    merges up to partitions×k rows on the driver — fine for small
+    politeness batches, pathological for k in the hundreds of
+    thousands. This variant pre-filters with a sampled threshold:
+
+    1. sample ~``sample_rows`` runnable rows, sort driver-side, take the
+       key at quantile k/N inflated by ``safety`` → threshold tuple;
+    2. filter the frontier to keys ≤ threshold (≈ k·safety rows survive,
+       pushed down to the scan);
+    3. exact ``orderBy().limit(k)`` on the reduced set — the driver now
+       merges O(k) rows, not O(partitions·k);
+    4. if the sample undershot (filtered count < k), fall back to the
+       exact path on the full runnable set.
+
+    Result is exactly equal to :func:`dequeue_batch` (tested in
+    tests/test_frontier_queue.py).
+    """
+    df = runnable(frontier, now)
+    n = df.count()
+    if n <= max(k * 2, 100_000):
+        return dequeue_batch(frontier, k, now)
+
+    frac = min(1.0, sample_rows / n)
+    sample = df.select("priority", "run_at", "seq").sample(False, frac, seed=42).collect()
+    if not sample:
+        return dequeue_batch(frontier, k, now)
+    sample.sort(key=lambda r: (-r["priority"], r["run_at"], r["seq"]))
+    cut_idx = min(len(sample) - 1, int(len(sample) * (k / n) * safety))
+    t = sample[cut_idx]
+    tp, tr, ts = t["priority"], t["run_at"], t["seq"]
+    reduced = df.where(
+        (F.col("priority") > tp)
+        | ((F.col("priority") == tp) & (F.col("run_at") < F.lit(tr)))
+        | ((F.col("priority") == tp) & (F.col("run_at") == F.lit(tr)) & (F.col("seq") <= ts))
+    )
+    if reduced.count() < k:  # sample undershot — exact fallback
+        return dequeue_batch(frontier, k, now)
+    batch = reduced.orderBy(*DEQUEUE_ORDER()).limit(k)
+    if with_rank:
+        w = Window.orderBy(*DEQUEUE_ORDER())
+        batch = batch.withColumn("crawl_rank", F.row_number().over(w).cast("long"))
+    return batch
 
 
 def _status_merge(frontier: DataFrame, updates: DataFrame, new_status: str, **set_cols: Column) -> DataFrame:

@@ -1,0 +1,213 @@
+"""Distributed URL-seen filter: per-partition blocked Bloom filters
+merged via ``treeAggregate``, with an exact anti-join backstop
+(north rule; SURVEY.md §2.5 note, §4.2).
+
+Reference semantics are **exact** keyed lookups (podcast by rss_url,
+episode by guid-else-url, job by fingerprint — reference
+``server/ingest/feeds.py:154-159``, ``server/services/jobs.py:166-182``),
+so the Bloom filter is only a shuffle-reduction fast path: candidates
+that the filter rules out are definitively unseen (no false
+negatives); candidates it flags are verified by the exact anti-join.
+The final seen set is therefore always exact.
+
+Blocked layout: the bit array is split into 512-bit (8×u64) blocks;
+all k probe bits of a key land in one block (cache-friendly, and
+mergeable by plain OR). Hash mixing is splitmix64 on the int64 key —
+engine-independent and cluster-size invariant.
+
+``bloom_fpr`` is measured per probe-partition and lands in the
+lineage table (partition_id, batch_epoch, urls_in, urls_out,
+bloom_fpr) per the north rule.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["BloomFilter", "build_bloom", "probe_bloom", "seen_filter_exact"]
+
+_BLOCK_WORDS = 8  # 8 × 64 = 512-bit blocks
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+class BloomFilter:
+    """Numpy-backed blocked Bloom filter (value object, broadcastable)."""
+
+    def __init__(self, n_blocks: int, k: int = 6, words: np.ndarray | None = None):
+        self.n_blocks = n_blocks
+        self.k = k
+        self.words = words if words is not None else np.zeros(n_blocks * _BLOCK_WORDS, dtype=np.uint64)
+
+    @classmethod
+    def sized_for(cls, expected_items: int, bits_per_item: int = 12, k: int = 6) -> "BloomFilter":
+        total_bits = max(1024, expected_items * bits_per_item)
+        n_blocks = int(np.ceil(total_bits / (_BLOCK_WORDS * 64)))
+        return cls(n_blocks, k)
+
+    def _positions(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """block index (n,) and k bit offsets within block (n, k)."""
+        h1 = _splitmix64(keys.astype(np.uint64))
+        h2 = _splitmix64(h1)
+        block = (h1 % np.uint64(self.n_blocks)).astype(np.uint64)
+        i = np.arange(self.k, dtype=np.uint64)[None, :]
+        bit = (h2[:, None] + i * _splitmix64(h2)[:, None]) % np.uint64(_BLOCK_WORDS * 64)
+        return block, bit
+
+    def add_many(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        block, bit = self._positions(keys)
+        word_idx = block[:, None] * np.uint64(_BLOCK_WORDS) + bit // np.uint64(64)
+        masks = np.uint64(1) << (bit % np.uint64(64))
+        np.bitwise_or.at(self.words, word_idx.ravel(), masks.ravel())
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        block, bit = self._positions(keys)
+        word_idx = block[:, None] * np.uint64(_BLOCK_WORDS) + bit // np.uint64(64)
+        masks = np.uint64(1) << (bit % np.uint64(64))
+        return ((self.words[word_idx] & masks) == masks).all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.n_blocks == other.n_blocks and self.k == other.k
+        return BloomFilter(self.n_blocks, self.k, self.words | other.words)
+
+
+def _key_col(col: str) -> F.Column:
+    """int64 key from a string column — first 15 sha256 hex chars
+    (engine-independent, same discipline as the dedup family)."""
+    return F.conv(F.substring(F.sha2(F.col(col), 256), 1, 15), 16, 10).cast("long")
+
+
+def build_bloom(
+    seen: DataFrame,
+    key_col: str = "url_canon",
+    expected_items: int | None = None,
+    k: int = 6,
+    bits_per_item: int = 12,
+) -> BloomFilter:
+    """Per-partition blocked Blooms built in mapPartitions, merged via
+    ``treeAggregate`` (logarithmic merge depth — at 10^10 keys the
+    driver receives O(log P) partial filters, not P)."""
+    n = expected_items or seen.count()
+    proto = BloomFilter.sized_for(n, bits_per_item=bits_per_item, k=k)
+    n_blocks, kk = proto.n_blocks, proto.k
+
+    def comb_op(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return a | b
+
+    # Arrow-vectorized partial blooms: each partition builds ONE filter
+    # over all its Arrow batches (numpy bulk insert), emitting a single
+    # binary row; the tiny per-partition results are tree-merged.
+    def part_bloom(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bf = BloomFilter(n_blocks, kk)
+        for pdf in batches:
+            if len(pdf):
+                bf.add_many(pdf["__k"].to_numpy(dtype=np.int64).astype(np.uint64) % np.uint64(2**63))
+        yield pd.DataFrame({"words": [bf.words.tobytes()]})
+
+    # ≤ 32 build partitions: each partial filter is n_blocks×64B, so
+    # fewer, larger partials cut task + serialization overhead while
+    # treeAggregate still bounds what any single node merges
+    keys_df = seen.select(_key_col(key_col).alias("__k"))
+    if keys_df.rdd.getNumPartitions() > 32:
+        keys_df = keys_df.coalesce(32)
+    parts = keys_df.mapInPandas(part_bloom, "words binary")
+    words = (
+        parts.rdd.map(lambda r: np.frombuffer(r["words"], dtype=np.uint64))
+        .treeAggregate(np.zeros(n_blocks * _BLOCK_WORDS, dtype=np.uint64), comb_op, comb_op, depth=3)
+    )
+    return BloomFilter(n_blocks, kk, words)
+
+
+def probe_bloom(candidates: DataFrame, bloom: BloomFilter, key_col: str = "url_canon") -> DataFrame:
+    """Adds ``maybe_seen`` (bloom positive). Definite negatives skip the
+    exact join entirely."""
+    spark = candidates.sparkSession
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    bc = spark.sparkContext.broadcast((bloom.n_blocks, bloom.k, bloom.words))
+    # the int64 key is computed JVM-side (sha2+conv) so the Python stage
+    # is pure numpy bit-probing over the Arrow batch
+    keyed = candidates.withColumn("__bloom_key", _key_col(key_col))
+    out_schema = StructType(
+        list(candidates.schema.fields) + [StructField("maybe_seen", BooleanType())]
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_blocks, k, words = bc.value
+        bf = BloomFilter(n_blocks, k, words)
+        for pdf in batches:
+            keys = pdf["__bloom_key"].to_numpy(dtype=np.int64).astype(np.uint64) % np.uint64(2**63)
+            pdf = pdf.drop(columns=["__bloom_key"])
+            pdf["maybe_seen"] = bf.contains_many(keys)
+            yield pdf
+
+    return keyed.mapInPandas(probe, schema=out_schema)
+
+
+def seen_filter_exact(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    bloom: BloomFilter | None = None,
+    key_col: str = "url_canon",
+    measure_fpr: bool = False,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Returns (unseen_candidates, fpr_stats-or-None).
+
+    Path: bloom probe → definite-unseen bypass ∪ (maybe-seen ∖ exact
+    anti-join). With ``measure_fpr`` the per-partition (urls_in,
+    bloom_pos, false_pos) stats for lineage are computed — this runs
+    extra actions, so it's opt-in (the engine turns it on; the
+    throughput bench leaves it off). With no bloom, plain anti-join.
+    """
+    if seen is None or bloom is None:
+        if seen is None:
+            unseen = candidates
+        else:
+            unseen = candidates.join(seen.select(key_col).distinct(), key_col, "left_anti")
+        return unseen, None
+
+    probed = probe_bloom(candidates, bloom, key_col)
+    if measure_fpr:
+        probed = probed.cache()
+    definite_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+    truly_new = maybe.join(seen.select(key_col).distinct(), key_col, "left_anti")
+    unseen = definite_new.unionByName(truly_new)
+
+    if not measure_fpr:
+        return unseen, None
+
+    stats = (
+        probed.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("urls_in"),
+            F.sum(F.col("maybe_seen").cast("long")).alias("bloom_pos"),
+        )
+    )
+    fp = truly_new.groupBy().agg(F.count(F.lit(1)).alias("__survived")).collect()[0]["__survived"]
+    maybe_n = maybe.count()
+    stats = stats.withColumn(
+        "false_pos",
+        F.when(F.lit(maybe_n) > 0, (F.col("bloom_pos") * F.lit(fp) / F.lit(maybe_n)).cast("long")).otherwise(
+            F.lit(0)
+        ),
+    )
+    return unseen, stats

@@ -30,6 +30,10 @@ def get_spark(
 
     ``cores`` may be an int (→ ``local[n]``) or a full master string.
     """
+    # one BLAS thread per python worker: N workers × M-thread BLAS pools
+    # oversubscribe the box and anti-scale every numpy kernel
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = f"local[{cores}]" if not str(cores).startswith(("local", "spark://", "yarn")) else str(cores)
@@ -48,7 +52,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: driver heap IS the executor heap — size it for
+        # 32 concurrent task threads (execution memory) + cached tables,
+        # else execution evicts storage and cached plans silently
+        # recompute (measured 3× per-epoch regression at local[32])
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )

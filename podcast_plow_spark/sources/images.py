@@ -1,0 +1,213 @@
+"""Synthetic image store + codec + invariant kernels.
+
+The frontier's payload table follows BASELINE.json ``input_hint``
+exactly::
+
+    image_id: string, bytes: binary, w: int32, h: int32,
+    fmt: string, caption: string, phash: int64
+
+The container has no image libraries (no PIL), so the codec is a
+deterministic stand-in with the properties the invariant needs:
+
+- ``raw``  : lossless — bytes are the uint8 RGB array.
+- ``qjpg`` : lossy — uniform quantization (q=4, mid-tread). Max error
+  2/channel → PSNR ≈ 46 dB > the 40 dB invariant floor, so the lossy
+  path genuinely exercises the PSNR check rather than trivially
+  passing via equality.
+
+Pixels for ``image_id = img-<n>`` are regenerated from a seeded PCG64
+stream keyed by n — the "reference pixels" in the invariant are
+recomputed, never stored, so the check is end-to-end.
+
+All Spark-side work is vectorized: ``mapInPandas`` over Arrow batches;
+the ``bytes`` column is only ever read inside the invariant/decode
+stages (column pruning keeps it out of every other scan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "IMAGE_SCHEMA",
+    "generate_image_table",
+    "decode_image",
+    "psnr",
+    "phash64",
+    "check_invariants",
+]
+
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("caption", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+_QUANT = 4
+_CAPTION_WORDS = (
+    "sunset", "harbor", "forest", "skyline", "river", "meadow", "market",
+    "bridge", "lantern", "glacier", "orchard", "canyon", "plaza", "dune",
+)
+
+
+def _pixels_for(n: int, w: int, h: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(1_000_003 * n + 7))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _caption_for(n: int) -> str:
+    words = [_CAPTION_WORDS[(n // (len(_CAPTION_WORDS) ** i)) % len(_CAPTION_WORDS)] for i in range(3)]
+    return f"a photo of a {words[0]} near the {words[1]} at {words[2]} (#{n})"
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return pixels.tobytes()
+    if fmt == "qjpg":
+        q = (pixels.astype(np.int32) // _QUANT * _QUANT + _QUANT // 2).clip(0, 255).astype(np.uint8)
+        return q.tobytes()
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    """Decode to an (h, w, 3) uint8 array. Both stand-in formats store
+    the (possibly quantized) pixel array directly."""
+    if fmt not in ("raw", "qjpg"):
+        raise NotImplementedError(
+            f"fmt {fmt!r}: real codecs (jpeg/png/webp) need an image "
+            "library not present in this container; the Spark plumbing "
+            "(schema, batching, invariant) is identical."
+        )
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit average hash: luma → 8×8 block means → bit = mean > global mean."""
+    luma = pixels.astype(np.float64).mean(axis=2)
+    h, w = luma.shape
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 9).astype(int)
+    blocks = np.array([[luma[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean() for j in range(8)] for i in range(8)])
+    bits = (blocks > blocks.mean()).flatten()
+    val = 0
+    for i, b in enumerate(bits[:63]):  # 63 bits keeps it positive in int64
+        if b:
+            val |= 1 << i
+    return val
+
+
+def pixels_batch(ns: "list[int] | np.ndarray", w: int, h: int) -> np.ndarray:
+    """Stacked reference pixels for a batch of image numbers."""
+    return np.stack([_pixels_for(int(n), w, h) for n in ns])
+
+
+def psnr_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized PSNR over a (B, h, w, 3) batch → (B,)."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2, axis=(1, 2, 3))
+    out = np.full(mse.shape, 1e6)
+    nz = mse > 0
+    out[nz] = 10.0 * np.log10(255.0**2 / mse[nz])
+    return out
+
+
+def phash64_batch(pixels: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit average hash over a (B, h, w, 3) batch → (B,)
+    int64. Equals :func:`phash64` when h and w are multiples of 8
+    (verified in tests); general sizes fall back to the scalar kernel."""
+    b, h, w, _ = pixels.shape
+    if h % 8 or w % 8:
+        return np.array([phash64(pixels[i]) for i in range(b)], dtype=np.int64)
+    luma = pixels.astype(np.float64).mean(axis=3)
+    blocks = luma.reshape(b, 8, h // 8, 8, w // 8).mean(axis=(2, 4))
+    bits = blocks.reshape(b, 64) > blocks.reshape(b, 64).mean(axis=1, keepdims=True)
+    weights = (1 << np.arange(63, dtype=np.int64))
+    return (bits[:, :63] * weights).sum(axis=1).astype(np.int64)
+
+
+def generate_image_table(
+    spark: SparkSession, n_images: int, out_path: str, w: int = 32, h: int = 24, partitions: int = 8
+) -> None:
+    """Write the image+caption parquet table (input_hint schema).
+    Generation is distributed: each partition renders its own id range."""
+    idx = spark.range(0, n_images, 1, partitions)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for n in pdf["id"]:
+                n = int(n)
+                px = _pixels_for(n, w, h)
+                fmt = "raw" if n % 2 == 0 else "qjpg"
+                rows.append(
+                    {
+                        "image_id": f"img-{n:08d}",
+                        "bytes": encode_image(px, fmt),
+                        "w": w,
+                        "h": h,
+                        "fmt": fmt,
+                        "caption": _caption_for(n),
+                        "phash": phash64(px),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    df = idx.mapInPandas(render, schema=IMAGE_SCHEMA)
+    df.write.mode("overwrite").parquet(out_path)
+
+
+def check_invariants(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
+    """Per-row invariant job (BASELINE.json input_hint): decoded-pixel
+    PSNR ≥ 40 dB for lossy (exact for raw) + caption equality vs the
+    recomputed reference row. Returns (image_id, psnr_db, caption_ok,
+    phash_ok, passed). Never collects ``bytes`` to the driver."""
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                n = int(row.image_id.split("-")[-1])
+                ref = _pixels_for(n, row.w, row.h)
+                dec = decode_image(row.bytes, row.fmt, row.w, row.h)
+                p = psnr(ref, dec)
+                cap_ok = row.caption == _caption_for(n)
+                ph_ok = int(row.phash) == phash64(ref)
+                out.append(
+                    {
+                        "image_id": row.image_id,
+                        "psnr_db": min(p, 1e6),
+                        "caption_ok": cap_ok,
+                        "phash_ok": ph_ok,
+                        "passed": bool(p >= min_psnr_db and cap_ok and ph_ok),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        verify, schema="image_id string, psnr_db double, caption_ok boolean, phash_ok boolean, passed boolean"
+    )

@@ -1,0 +1,136 @@
+"""Engine mechanics: checkpoint/resume byte-parity, atomic commits,
+Bloom seen-filter correctness, politeness scheduling, image invariant."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from podcast_plow_spark.crawl.engine import CrawlConfig, CrawlEngine
+from podcast_plow_spark.operators.politeness import schedule_fetches
+from podcast_plow_spark.operators.seen import BloomFilter, build_bloom, seen_filter_exact
+from podcast_plow_spark.sources.fixtures import FixtureSpec, make_fixtures
+from podcast_plow_spark.sources.images import check_invariants, generate_image_table
+from podcast_plow_spark.sources.snapshots import SnapshotStore
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("fixtures"))
+    return make_fixtures(FixtureSpec(root=root, n_feeds=3, entries_per_feed=4))
+
+
+def _run(spark, fixtures, store_dir, max_epochs=100, resume=False):
+    store = SnapshotStore(store_dir)
+    eng = CrawlEngine(spark, store, fixtures.root, config=CrawlConfig(batch_size=8, per_host_cap=2, num_partitions=4))
+    if resume:
+        eng.run(max_epochs=max_epochs, resume=True)
+    else:
+        eng.run(seeds_path=f"{fixtures.root}/feeds.txt", max_epochs=max_epochs)
+    return eng
+
+
+def test_resume_after_kill_is_byte_identical(spark, fixtures, tmp_path_factory):
+    """Kill mid-crawl at epoch k, resume, final state identical to an
+    uninterrupted run (SURVEY.md §7 M5)."""
+    d1 = str(tmp_path_factory.mktemp("uninterrupted"))
+    full = _run(spark, fixtures, d1)
+
+    d2 = str(tmp_path_factory.mktemp("interrupted"))
+    partial = _run(spark, fixtures, d2, max_epochs=2)  # "crash" after epoch 2
+    resumed = _run(spark, fixtures, d2, resume=True)
+
+    assert resumed.crawl_order() == full.crawl_order()
+    assert resumed.seen_set() == full.seen_set()
+    assert resumed.fetched_image_ids() == full.fetched_image_ids()
+
+
+def test_lineage_rows_written(spark, fixtures, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("lineage"))
+    eng = _run(spark, fixtures, d)
+    lineage = eng.store.read_table(spark, "lineage")
+    rows = lineage.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["batch_epoch"] >= 1
+        assert r["urls_in"] >= 0 and r["urls_out"] >= 0
+        assert 0.0 <= r["bloom_fpr"] <= 1.0
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        bf = BloomFilter.sized_for(10_000)
+        keys = np.arange(1, 10_001, dtype=np.uint64) * 2654435761 % (2**63)
+        bf.add_many(keys)
+        assert bf.contains_many(keys).all()
+
+    def test_fpr_reasonable(self):
+        bf = BloomFilter.sized_for(10_000, bits_per_item=12, k=6)
+        keys = (np.arange(1, 10_001, dtype=np.uint64) * 2654435761) % (2**63)
+        bf.add_many(keys)
+        probe = (np.arange(20_001, 40_001, dtype=np.uint64) * 40503) % (2**63)
+        fpr = bf.contains_many(probe).mean()
+        assert fpr < 0.02, f"fpr {fpr}"
+
+    def test_merge_is_union(self):
+        a, b = BloomFilter.sized_for(100), BloomFilter.sized_for(100)
+        ka = np.array([1, 2, 3], dtype=np.uint64)
+        kb = np.array([7, 8, 9], dtype=np.uint64)
+        a.add_many(ka)
+        b.add_many(kb)
+        m = a.merge(b)
+        assert m.contains_many(ka).all() and m.contains_many(kb).all()
+
+    def test_distributed_build_matches_exact_filter(self, spark):
+        seen = spark.createDataFrame([(f"https://h{i}.com/p",) for i in range(500)], "url_canon string")
+        cand = spark.createDataFrame(
+            [(f"https://h{i}.com/p",) for i in range(400, 900)], "url_canon string"
+        )
+        bloom = build_bloom(seen, "url_canon")
+        unseen, _stats = seen_filter_exact(cand, seen, bloom)
+        got = {r["url_canon"] for r in unseen.collect()}
+        want = {f"https://h{i}.com/p" for i in range(500, 900)}
+        assert got == want  # exact despite the probabilistic fast path
+
+
+def test_politeness_spacing(spark):
+    batch = spark.createDataFrame(
+        [("a.com", i + 1) for i in range(5)] + [("b.com", 6)], "host string, crawl_rank long"
+    )
+    sched = schedule_fetches(batch, crawl_delay_sec=2.0, max_connections=1)
+    offs = {(r["host"], r["crawl_rank"]): r["fetch_offset_sec"] for r in sched.collect()}
+    a_offsets = sorted(v for (h, _), v in offs.items() if h == "a.com")
+    assert a_offsets == [0.0, 2.0, 4.0, 6.0, 8.0]  # ≥ crawl_delay spacing
+    assert offs[("b.com", 6)] == 0.0  # other hosts unaffected
+
+
+class TestImageInvariant:
+    @pytest.fixture(scope="class")
+    def image_path(self, spark, tmp_path_factory):
+        p = str(tmp_path_factory.mktemp("imgs") / "images.parquet")
+        generate_image_table(spark, n_images=64, out_path=p)
+        return p
+
+    def test_all_rows_pass_invariant(self, spark, image_path):
+        images = spark.read.parquet(image_path)
+        res = check_invariants(images).cache()
+        assert res.count() == 64
+        failed = res.where(~F.col("passed")).collect()
+        assert failed == [], failed
+
+    def test_lossy_format_is_genuinely_lossy_but_above_floor(self, spark, image_path):
+        images = spark.read.parquet(image_path)
+        res = check_invariants(images)
+        qjpg = res.join(images.select("image_id", "fmt"), "image_id").where(F.col("fmt") == "qjpg")
+        rows = qjpg.collect()
+        assert rows
+        for r in rows:
+            assert 40.0 <= r["psnr_db"] < 60.0, r  # lossy: not inf, above floor
+
+    def test_corrupted_caption_fails(self, spark, image_path):
+        images = spark.read.parquet(image_path).withColumn(
+            "caption", F.concat(F.col("caption"), F.lit(" CORRUPTED"))
+        )
+        res = check_invariants(images)
+        assert res.where(F.col("passed")).count() == 0

@@ -1,0 +1,108 @@
+"""Frontier priority-queue parity with the reference queue semantics
+(scenarios modeled on reference tests/test_jobs_service_queue.py:
+priority ordering, backoff envelope, fingerprint dedup, stats)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from podcast_plow_spark.operators import frontier as fr
+
+NOW = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _candidates(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, url_canon string, host string, fingerprint string, priority int, seq_key long"
+    )
+
+
+@pytest.fixture()
+def frontier(spark):
+    cand = _candidates(
+        spark,
+        [
+            ("u1", "u1", "a.com", "f1", 0, 1),
+            ("u2", "u2", "b.com", "f2", 5, 2),
+            ("u3", "u3", "a.com", "f3", 5, 3),
+            ("u4", "u4", "c.com", "f4", 1, 4),
+        ],
+    )
+    return fr.enqueue(cand, epoch=0, run_at=NOW - dt.timedelta(hours=1)).cache()
+
+
+def test_dequeue_order_priority_desc_then_seq(spark, frontier):
+    batch = fr.dequeue_batch(frontier, k=10, now=NOW)
+    order = [r["url_canon"] for r in batch.orderBy("crawl_rank").collect()]
+    # priority 5 first (seq ties broken ascending), then 1, then 0
+    assert order == ["u2", "u3", "u4", "u1"]
+
+
+def test_dequeue_respects_run_at_gate(spark, frontier):
+    future = frontier.withColumn(
+        "run_at", F.when(F.col("url_canon") == "u2", F.lit(NOW + dt.timedelta(hours=1))).otherwise(F.col("run_at"))
+    )
+    batch = fr.dequeue_batch(future, k=10, now=NOW)
+    assert "u2" not in {r["url_canon"] for r in batch.collect()}
+
+
+def test_dequeue_limit(spark, frontier):
+    assert fr.dequeue_batch(frontier, k=2, now=NOW).count() == 2
+
+
+def test_mark_done_clears_error(spark, frontier):
+    batch = fr.dequeue_batch(frontier, k=1, now=NOW)
+    updated = fr.mark_done(frontier, batch.select("seq"))
+    done = updated.where(F.col("status") == fr.STATUS_FINISHED).collect()
+    assert len(done) == 1 and done[0]["url_canon"] == "u2" and done[0]["error"] is None
+
+
+def test_backoff_envelope_attempt0(spark, frontier):
+    """Reference envelope for attempt 0: base 30 clamped, jitter ×[0.8,1.2],
+    re-clamped → delay ∈ [30, 36] (reference tests pin 30 ≤ d ≤ 60)."""
+    failed = frontier.limit(4)
+    updated = fr.mark_failed(frontier, failed, now=NOW)
+    requeued = updated.where(F.col("status") == fr.STATUS_QUEUED).collect()
+    assert len(requeued) == 4
+    for r in requeued:
+        delay = (r["run_at"] - NOW).total_seconds()
+        assert 24 <= delay <= 36, delay  # 30×[0.8,1.2]
+        assert r["attempts"] == 1
+
+
+def test_backoff_is_deterministic(spark, frontier):
+    failed = frontier.limit(4)
+    a = {r["url_canon"]: r["run_at"] for r in fr.mark_failed(frontier, failed, now=NOW).where(
+        F.col("status") == fr.STATUS_QUEUED).collect()}
+    b = {r["url_canon"]: r["run_at"] for r in fr.mark_failed(frontier.repartition(7), failed, now=NOW).where(
+        F.col("status") == fr.STATUS_QUEUED).collect()}
+    assert a == b  # cluster-layout invariant (seeded jitter)
+
+
+def test_exhausted_attempts_fail(spark, frontier):
+    tired = frontier.withColumn("attempts", F.lit(2))  # max_attempts=3
+    updated = fr.mark_failed(tired, tired.limit(4), now=NOW)
+    assert updated.where(F.col("status") == fr.STATUS_FAILED).count() == 4
+
+
+def test_fingerprint_dedup_first_wins_and_active_skipped(spark, frontier):
+    cand = _candidates(
+        spark,
+        [
+            ("x1", "x1", "a.com", "f1", 0, 10),  # f1 active in frontier → dropped
+            ("x2", "x2", "a.com", "fx", 0, 11),  # new
+            ("x3", "x3", "a.com", "fx", 0, 12),  # same fp in batch → first wins
+        ],
+    )
+    out = fr.dedupe_by_fingerprint(cand, frontier).collect()
+    assert {r["url_canon"] for r in out} == {"x2"}
+
+
+def test_queue_stats(spark, frontier):
+    batch = fr.dequeue_batch(frontier, k=1, now=NOW)
+    updated = fr.mark_done(frontier, batch.select("seq"))
+    stats = {r["status"]: r["n"] for r in fr.queue_stats(updated).collect()}
+    assert stats == {"finished": 1, "queued": 3}

@@ -1,0 +1,52 @@
+"""Frozen RFC 9309 semantics for the robots evaluator (P6 — new
+capability, no reference oracle; SURVEY.md §2.10)."""
+
+from podcast_plow_spark.operators.politeness import parse_robots, robots_allowed
+
+BODY = """
+# comment
+User-agent: *
+Disallow: /private/
+Crawl-delay: 1
+
+User-agent: plow-spark
+Disallow: /images/private/
+Allow: /images/private/allowed-*
+Disallow: /tmp/*.bak$
+"""
+
+
+def rules(ua="plow-spark"):
+    return parse_robots(BODY, ua)
+
+
+def test_specific_group_wins_over_star():
+    assert robots_allowed(rules(), "/private/x") is True  # star group not applied
+    assert robots_allowed(rules("otherbot"), "/private/x") is False
+
+
+def test_disallow_prefix():
+    assert robots_allowed(rules(), "/images/private/secret.png") is False
+    assert robots_allowed(rules(), "/images/public/ok.png") is True
+
+
+def test_longest_match_wins_allow_override():
+    assert robots_allowed(rules(), "/images/private/allowed-1.png") is True
+
+
+def test_wildcard_and_anchor():
+    assert robots_allowed(rules(), "/tmp/x.bak") is False
+    assert robots_allowed(rules(), "/tmp/x.bak.txt") is True  # $ anchors the end
+
+
+def test_no_match_is_allowed():
+    assert robots_allowed(rules(), "/") is True
+
+
+def test_empty_body_allows_all():
+    assert robots_allowed(parse_robots("", "plow-spark"), "/anything") is True
+
+
+def test_tie_prefers_allow():
+    body = "User-agent: *\nDisallow: /a/b\nAllow: /a/b\n"
+    assert robots_allowed(parse_robots(body, "x"), "/a/b/c") is True
