@@ -565,6 +565,689 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Batch 2 — windows, scheduling variants, text kernels, training ops
+# ----------------------------------------------------------------------
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 sliding token chunks (reference server/services/chunker.py:68-103)."""
+    from podcast_plow_spark.operators.windows import chunk_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    out = chunk_tokens(d, "doc_id", "text", max_tokens=50, overlap_ratio=0.1)
+    return out.select(
+        "doc_id",
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        F.col("token_start").cast("long").alias("token_start"),
+        F.col("token_end").cast("long").alias("token_end"),
+        F.col("token_count").cast("long").alias("token_count"),
+        "text",
+    )
+
+
+_SQL_CHUNKS = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n,
+             unnest(generate_series(0, greatest(len(toks) - 1, 0), 45)) AS token_start
+      FROM t)
+SELECT doc_id,
+       CAST(token_start / 45 AS INT) AS chunk_index,
+       CAST(token_start AS BIGINT) AS token_start,
+       CAST(LEAST(token_start + 50, n) AS BIGINT) AS token_end,
+       CAST(LEAST(token_start + 50, n) - token_start AS BIGINT) AS token_count,
+       array_to_string(list_slice(toks, token_start + 1, token_start + 50), ' ') AS text
+FROM s
+WHERE (token_start = 0 OR token_start < n) AND LEAST(token_start + 50, n) - token_start > 0
+"""
+
+
+def q_budgeted_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 greedy budget selection (reference server/ingest/summaries.py:48-74)."""
+    from podcast_plow_spark.operators.windows import budgeted_top_k
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select("doc_id", F.col("n_chars").cast("double").alias("score"), F.size(toks).cast("long").alias("words"))
+    out = budgeted_top_k(
+        base, F.col("score"), F.col("words"), budget=5000, max_items=12, min_words=6,
+        tiebreak=[F.col("doc_id").asc()],
+    )
+    return out.select("doc_id", "score", "words")
+
+
+_SQL_BUDGETED = r"""
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS words
+  FROM documents
+), ranked AS (
+  SELECT *, SUM(words) OVER (ORDER BY score DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_words,
+            ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM base WHERE words >= 6
+)
+SELECT doc_id, score, words FROM ranked WHERE cum_words <= 5000 AND rnk <= 12
+"""
+
+
+def q_duration_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 parse_duration over mixed formats (reference server/ingest/feeds.py:27-54)."""
+    from podcast_plow_spark.functions.text import parse_duration_col
+
+    ev = _t(spark, sf_dir, "events")
+    mm = (F.col("event_id") % 90).cast("int")
+    ss = (F.col("user_id") % 60).cast("int")
+    raw = (
+        F.when(F.col("event_id") % 3 == 0, ss.cast("string"))
+        .when(F.col("event_id") % 3 == 1, F.format_string("%d:%02d", mm, ss))
+        .otherwise(F.format_string("%d:%02d:%02d", (F.col("event_id") % 5).cast("int"), mm % 60, ss))
+    )
+    return ev.select("event_id", raw.alias("raw"), parse_duration_col(raw).alias("duration_sec"))
+
+
+_SQL_DURATION = """
+WITH g AS (
+  SELECT event_id,
+         CAST(event_id % 90 AS INT) AS mm, CAST(user_id % 60 AS INT) AS ss,
+         CAST(event_id % 5 AS INT) AS hh
+  FROM events
+), r AS (
+  SELECT event_id,
+         CASE WHEN event_id % 3 = 0 THEN CAST(ss AS VARCHAR)
+              WHEN event_id % 3 = 1 THEN printf('%d:%02d', mm, ss)
+              ELSE printf('%d:%02d:%02d', hh, mm % 60, ss) END AS raw
+  FROM g
+)
+SELECT event_id, raw,
+       CASE WHEN regexp_matches(raw, '^\\d+$') THEN CAST(raw AS BIGINT)
+            WHEN regexp_matches(raw, '^\\d+:\\d{1,2}:\\d{1,2}$')
+              THEN CAST(string_split(raw, ':')[1] AS BIGINT) * 3600
+                 + CAST(string_split(raw, ':')[2] AS BIGINT) * 60
+                 + CAST(string_split(raw, ':')[3] AS BIGINT)
+            WHEN regexp_matches(raw, '^\\d+:\\d{1,2}$')
+              THEN CAST(string_split(raw, ':')[1] AS BIGINT) * 60
+                 + CAST(string_split(raw, ':')[2] AS BIGINT)
+            ELSE NULL END AS duration_sec
+FROM r
+"""
+
+
+def q_singularize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 singularizer (reference server/services/evidence_fetcher.py:355-362)."""
+    from podcast_plow_spark.functions.text import singularize_col
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")).distinct()
+    return words.select("word", singularize_col(F.col("word")).alias("singular")).orderBy("word")
+
+
+_SQL_SINGULARIZE = r"""
+WITH w AS (SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+SELECT word,
+       CASE WHEN length(word) > 3 AND word LIKE '%ies' THEN substr(word, 1, length(word)-3) || 'y'
+            WHEN length(word) > 3 AND word LIKE '%ses' THEN substr(word, 1, length(word)-1)
+            WHEN length(word) > 3 AND word LIKE '%s' AND word NOT LIKE '%ss' THEN substr(word, 1, length(word)-1)
+            ELSE word END AS singular
+FROM w ORDER BY word
+"""
+
+
+def q_claim_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 claim-sentence predicate (reference worker/claim_extraction.py:268-272)."""
+    from podcast_plow_spark.functions.text import looks_like_claim_col
+
+    ev = _t(spark, sf_dir, "events")
+    sentence = F.when(
+        F.col("value") > 250, F.concat(F.col("event_type"), F.lit(" improves value"))
+    ).otherwise(F.concat(F.lit("i remember a "), F.col("event_type"), F.lit(" story")))
+    return (
+        ev.select(sentence.alias("sentence"))
+        .withColumn("is_claim", looks_like_claim_col(F.col("sentence")))
+        .groupBy("sentence", "is_claim")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("sentence")
+    )
+
+
+_SQL_CLAIM_PRED = """
+WITH s AS (
+  SELECT CASE WHEN value > 250 THEN event_type || ' improves value'
+              ELSE 'i remember a ' || event_type || ' story' END AS sentence
+  FROM events
+)
+SELECT sentence,
+       (NOT (sentence LIKE '%i remember%' OR sentence LIKE '%i once%' OR sentence LIKE '%i used to%'
+             OR sentence LIKE '%story%' OR sentence LIKE '%my friend%' OR sentence LIKE '%i feel%'
+             OR sentence LIKE '%i think%'))
+       AND (sentence LIKE '%increase%' OR sentence LIKE '%improve%' OR sentence LIKE '%reduce%'
+            OR sentence LIKE '%prevent%' OR sentence LIKE '%support%' OR sentence LIKE '%boost%'
+            OR sentence LIKE '%raise%' OR sentence LIKE '%lower%' OR sentence LIKE '%enhance%'
+            OR sentence LIKE '%maintain%' OR sentence LIKE '%decrease%' OR sentence LIKE '%assist%'
+            OR sentence LIKE '%protect%' OR sentence LIKE '%strengthen%' OR sentence LIKE '%fuel%'
+            OR sentence LIKE '%accelerate%' OR sentence LIKE '%help%' OR sentence LIKE '%shorten%'
+            OR sentence LIKE '%stabilize%') AS is_claim,
+       COUNT(*) AS n
+FROM s GROUP BY 1, 2 ORDER BY sentence
+"""
+
+
+def q_topic_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19 ordered keyword → (topic, domain) (reference worker/claim_extraction.py:319-323)."""
+    from podcast_plow_spark.functions.text import normalise_col, topic_domain_cols
+
+    d = _t(spark, sf_dir, "documents")
+    norm = normalise_col(F.col("text"))
+    topic, domain = topic_domain_cols(norm)
+    return (
+        d.select(topic.alias("topic"), domain.alias("domain"))
+        .groupBy("topic", "domain")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("topic")
+    )
+
+
+_SQL_TOPIC = r"""
+WITH n AS (
+  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS t
+  FROM documents
+), c AS (
+  SELECT CASE
+    WHEN t LIKE '%ketone%' THEN 'ketones' WHEN t LIKE '%fast%' THEN 'intermittent_fasting'
+    WHEN t LIKE '%sleep%' THEN 'sleep_quality' WHEN t LIKE '%melatonin%' THEN 'melatonin'
+    WHEN t LIKE '%circadian%' THEN 'circadian_rhythm' WHEN t LIKE '%cortisol%' THEN 'stress_hormones'
+    WHEN t LIKE '%omega%' THEN 'omega_3' WHEN t LIKE '%creatine%' THEN 'creatine'
+    WHEN t LIKE '%brown fat%' THEN 'brown_adipose_tissue' WHEN t LIKE '%norepinephrine%' THEN 'norepinephrine'
+    WHEN t LIKE '%hydration%' THEN 'hydration' WHEN t LIKE '%magnesium%' THEN 'magnesium'
+    WHEN t LIKE '%microbiome%' THEN 'gut_microbiome' WHEN t LIKE '%fermented%' THEN 'fermented_foods'
+    WHEN t LIKE '%probiotic%' THEN 'probiotics' WHEN t LIKE '%glucose%' THEN 'glucose_regulation'
+    ELSE 'general_health' END AS topic,
+  CASE
+    WHEN t LIKE '%ketone%' THEN 'metabolism' WHEN t LIKE '%fast%' THEN 'nutrition'
+    WHEN t LIKE '%sleep%' THEN 'wellness' WHEN t LIKE '%melatonin%' THEN 'sleep'
+    WHEN t LIKE '%circadian%' THEN 'sleep' WHEN t LIKE '%cortisol%' THEN 'endocrinology'
+    WHEN t LIKE '%omega%' THEN 'nutrition' WHEN t LIKE '%creatine%' THEN 'performance'
+    WHEN t LIKE '%brown fat%' THEN 'metabolism' WHEN t LIKE '%norepinephrine%' THEN 'neurochemistry'
+    WHEN t LIKE '%hydration%' THEN 'performance' WHEN t LIKE '%magnesium%' THEN 'supplements'
+    WHEN t LIKE '%microbiome%' THEN 'nutrition' WHEN t LIKE '%fermented%' THEN 'nutrition'
+    WHEN t LIKE '%probiotic%' THEN 'nutrition' WHEN t LIKE '%glucose%' THEN 'metabolism'
+    ELSE 'wellness' END AS domain
+  FROM n
+)
+SELECT topic, domain, COUNT(*) AS n FROM c GROUP BY 1, 2 ORDER BY topic
+"""
+
+
+def q_evidence_top6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 dedup-by-key keep-best → global sort → top-6 → 2 primary flags
+    (reference server/app.py:17-85)."""
+    p = _t(spark, sf_dir, "part")
+    ranked = p.select(
+        "p_partkey",
+        F.col("p_brand").alias("key"),
+        (F.col("p_size") % 5).cast("int").alias("type_rank"),
+        F.col("p_retailprice").alias("year_proxy"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("type_rank").asc(), F.col("year_proxy").desc(), F.col("p_partkey").asc()
+    )
+    best = ranked.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    w2 = Window.orderBy(F.col("type_rank").asc(), F.col("year_proxy").desc(), F.col("p_partkey").asc())
+    top = best.withColumn("pos", F.row_number().over(w2)).where(F.col("pos") <= 6)
+    return top.select("p_partkey", "key", "type_rank", (F.col("pos") <= 2).alias("is_primary"))
+
+
+_SQL_EVIDENCE6 = """
+WITH ranked AS (
+  SELECT p_partkey, p_brand AS key, CAST(p_size % 5 AS INT) AS type_rank, p_retailprice AS year_proxy,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_size % 5 ASC, p_retailprice DESC, p_partkey ASC) AS rn
+  FROM part
+), best AS (SELECT * FROM ranked WHERE rn = 1),
+top AS (SELECT *, ROW_NUMBER() OVER (ORDER BY type_rank ASC, year_proxy DESC, p_partkey ASC) AS pos FROM best)
+SELECT p_partkey, key, type_rank, pos <= 2 AS is_primary FROM top WHERE pos <= 6
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4-analog gap-based sessionization (30-min gap) via lag +
+    cumulative sum — the distributed idiom for the reference's
+    sequential segment accumulator (worker/claim_extraction.py:201-265)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    secs = F.unix_timestamp(F.col("ts"))
+    gap = secs - F.lag(secs).over(w)
+    marked = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = marked.withColumn("session_id", F.sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM s GROUP BY 1, 2 ORDER BY user_id, session_id
+"""
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: polynomial rolling hash over token
+    hashes (training-data op; engine-independent arithmetic)."""
+    P = 1_000_000_007
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    hashed = F.transform(
+        toks, lambda t: F.conv(F.substring(F.sha2(t, 256), 1, 8), 16, 10).cast("long") % P
+    )
+    fp = F.aggregate(hashed, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % P)
+    return d.select("doc_id", fp.alias("doc_fp"))
+
+
+_SQL_ROLLING_FP = r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split_regex(trim(text), '\s+'),
+                          t -> CAST('0x' || substr(sha256(t), 1, 8) AS BIGINT) % 1000000007)),
+         (acc, x) -> (acc * 31 + x) % 1000000007
+       ) AS doc_fp
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit fraction (training-data op)."""
+    stops = ["the", "a", "of", "and", "to", "in", "is"]
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    hits = F.size(F.filter(toks, lambda t: t.isin(stops)))
+    frac = F.round(hits.cast("double") / F.size(toks), 4)
+    pred = F.when(frac >= 0.05, F.lit("en")).otherwise(F.lit("unknown"))
+    return d.select("doc_id", frac.alias("stop_frac"), pred.alias("lang_pred"))
+
+
+_SQL_LANG_ID = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+SELECT doc_id,
+       ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             / len(toks), 4) AS stop_frac,
+       CASE WHEN CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                 / len(toks) >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM t
+"""
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (training-data op)."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+    return d.select("doc_id", n.cast("long").alias("bpe_tokens"))
+
+
+_SQL_BPE = r"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_recency_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 recency top-N with NULLS LAST under DESC (reference
+    server/manage.py:330-338; Postgres default semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    dated = o.withColumn("d", F.when(F.col("o_orderkey") % 97 == 0, F.lit(None)).otherwise(F.col("o_orderdate")))
+    return (
+        dated.orderBy(F.col("d").desc_nulls_last(), F.col("o_orderkey").desc())
+        .limit(25)
+        .select("o_orderkey", "d")
+    )
+
+
+_SQL_RECENCY = """
+SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderdate END AS d
+FROM orders
+ORDER BY d DESC NULLS LAST, o_orderkey DESC
+LIMIT 25
+"""
+
+
+def q_first_by_source_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 order-preserving candidate dedup: first per target by
+    (source_rank, position) (reference server/ingest/youtube.py:105-165)."""
+    ev = _t(spark, sf_dir, "events")
+    ranked = ev.select(
+        (F.col("user_id") % 50).alias("target"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .when(F.col("event_type") == "signup", 2)
+        .when(F.col("event_type") == "click", 3)
+        .when(F.col("event_type") == "view", 4)
+        .otherwise(5)
+        .alias("source_rank"),
+        F.col("event_id").alias("pos"),
+    )
+    w = Window.partitionBy("target").orderBy(F.col("source_rank").asc(), F.col("pos").asc())
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("target", "source_rank", F.col("pos").alias("chosen_pos"))
+        .orderBy("target")
+    )
+
+
+_SQL_SOURCE_RANK = """
+WITH ranked AS (
+  SELECT user_id % 50 AS target,
+         CASE event_type WHEN 'purchase' THEN 1 WHEN 'signup' THEN 2 WHEN 'click' THEN 3
+                         WHEN 'view' THEN 4 ELSE 5 END AS source_rank,
+         event_id AS pos
+  FROM events
+), w AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY target ORDER BY source_rank ASC, pos ASC) AS rn FROM ranked
+)
+SELECT target, source_rank, pos AS chosen_pos FROM w WHERE rn = 1 ORDER BY target
+"""
+
+
+def q_semi_join_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 semi-join by key set (reference server/services/evidence.py:834-838)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy("l_suppkey")
+    )
+
+
+_SQL_SEMI_URGENT = """
+SELECT l_suppkey, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_suppkey ORDER BY l_suppkey
+"""
+
+
+def q_having_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 count-threshold gate (reference server/services/evidence_fetcher.py:749-771)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    )
+
+
+_SQL_HAVING = """
+SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: J1 3-way join + agg + ordered top-N."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-01-01")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_SQL_SHIPPING = """
+SELECT l_orderkey, o_orderdate, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_collect_evidence_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 grouped collect preserving deterministic order (reference
+    worker/auto_grade.py:34-53) — arrays compared as sorted joined strings."""
+    ev = _t(spark, sf_dir, "events")
+    lst = ev.groupBy((F.col("user_id") % 20).alias("claim_id")).agg(
+        F.array_join(F.array_sort(F.collect_list(F.col("event_id").cast("string"))), ",").alias("evidence_ids"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return lst.orderBy("claim_id")
+
+
+_SQL_COLLECT = """
+SELECT user_id % 20 AS claim_id,
+       array_to_string(list_sort(list(CAST(event_id AS VARCHAR))), ',') AS evidence_ids,
+       COUNT(*) AS n
+FROM events GROUP BY 1 ORDER BY claim_id
+"""
+
+
+# ----------------------------------------------------------------------
+# Merge/upsert sinks (S8-S12, D5 — podcast_plow_spark/operators/merge.py)
+# ----------------------------------------------------------------------
+
+
+def _upsert_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    updates = c.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+    )
+    inserts = c.where(F.col("c_custkey") % 500 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("NewCustomer#"), F.col("c_custkey").cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+    )
+    return updates.unionByName(inserts)
+
+
+def q_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S9/S10 coalesce-update MERGE (reference server/ingest/feeds.py:106-214)."""
+    from podcast_plow_spark.operators.merge import upsert_coalesce
+
+    target = _t(spark, sf_dir, "customer")
+    out = upsert_coalesce(
+        target, _upsert_source(spark, sf_dir), key="c_custkey", overwrite_cols=["c_mktsegment"]
+    )
+    return out.select(
+        "c_custkey", "c_name", "c_nationkey", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )
+
+
+_SQL_UPSERT = """
+WITH src AS (
+  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, c_nationkey,
+         c_acctbal + 100 AS c_acctbal, 'NEWSEG' AS c_mktsegment
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NewCustomer#' || CAST(c_custkey AS VARCHAR), c_nationkey,
+         0.0, 'NEWSEG'
+  FROM customer WHERE c_custkey % 500 = 0
+)
+SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+       CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL THEN COALESCE(s.c_name, t.c_name)
+            WHEN t.c_custkey IS NOT NULL THEN t.c_name ELSE s.c_name END AS c_name,
+       CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL THEN COALESCE(s.c_nationkey, t.c_nationkey)
+            WHEN t.c_custkey IS NOT NULL THEN t.c_nationkey ELSE s.c_nationkey END AS c_nationkey,
+       ROUND(CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL THEN COALESCE(s.c_acctbal, t.c_acctbal)
+                  WHEN t.c_custkey IS NOT NULL THEN t.c_acctbal ELSE s.c_acctbal END, 2) AS c_acctbal,
+       CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL THEN s.c_mktsegment
+            WHEN t.c_custkey IS NOT NULL THEN t.c_mktsegment ELSE s.c_mktsegment END AS c_mktsegment
+FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+"""
+
+
+def q_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 ON CONFLICT DO NOTHING (reference server/ingest/transcripts.py:124-136)."""
+    from podcast_plow_spark.operators.merge import insert_if_absent
+
+    target = _t(spark, sf_dir, "supplier")
+    src = target.select(
+        F.when(F.col("s_suppkey") % 2 == 0, F.col("s_suppkey"))
+        .otherwise(F.col("s_suppkey") + 10_000)
+        .alias("s_suppkey"),
+        F.lit("InsertedSupplier").alias("s_name"),
+        "s_nationkey",
+        F.lit(0.0).alias("s_acctbal"),
+    )
+    out = insert_if_absent(target, src, "s_suppkey")
+    return out.select("s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal"))
+
+
+_SQL_INSERT_ABSENT = """
+WITH src AS (
+  SELECT CASE WHEN s_suppkey % 2 = 0 THEN s_suppkey ELSE s_suppkey + 10000 END AS s_suppkey,
+         'InsertedSupplier' AS s_name, s_nationkey, 0.0 AS s_acctbal
+  FROM supplier
+)
+SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 2) AS s_acctbal FROM supplier
+UNION ALL
+SELECT s.s_suppkey, s.s_name, s.s_nationkey, ROUND(s.s_acctbal, 2) FROM src s
+WHERE NOT EXISTS (SELECT 1 FROM supplier t WHERE t.s_suppkey = s.s_suppkey)
+"""
+
+
+def q_dedup_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 duplicate GC: min-id per key is primary, the rest are deleted
+    (reference server/services/claims.py:76-105)."""
+    from podcast_plow_spark.operators.merge import dedup_gc
+
+    ev = _t(spark, sf_dir, "events").select((F.col("user_id") % 100).alias("key"), "event_id")
+    _kept, deleted = dedup_gc(ev, "key", "event_id")
+    return deleted.orderBy("event_id")
+
+
+_SQL_DEDUP_GC = """
+SELECT event_id FROM (
+  SELECT event_id, ROW_NUMBER() OVER (PARTITION BY user_id % 100 ORDER BY event_id ASC) AS rn
+  FROM events
+) WHERE rn > 1 ORDER BY event_id
+"""
+
+
+# ----------------------------------------------------------------------
+# Evidence + summarization kernels (X13-X16, X20-X23, A5 pipeline)
+# ----------------------------------------------------------------------
+
+
+def q_stance_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14/X15 heuristic stance classifier (reference
+    server/services/evidence.py:568-606) — regex-fixpoint kernel, not
+    SQL-expressible → rows-only check; semantics frozen in
+    tests/test_evidence_and_summary.py."""
+    from podcast_plow_spark.functions.evidence import classify_stance_udf
+
+    ev = _t(spark, sf_dir, "events")
+    claim = F.concat(F.col("event_type"), F.lit(" increases value"))
+    title = F.when(F.col("value") > 300, F.lit("significant improvement in outcomes"))\
+        .when(F.col("value") > 150, F.lit("no effect was observed"))\
+        .otherwise(F.lit("results were inconclusive"))
+    abstract = F.get_json_object(F.col("props"), "$.k").cast("string")
+    out = ev.select(classify_stance_udf(claim, title, abstract).alias("stance"))
+    return out.groupBy("stance").agg(F.count(F.lit(1)).alias("n")).orderBy("stance")
+
+
+def q_summarize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/K5/X23 extractive summary pipeline (reference
+    server/ingest/summaries.py) — per-document python kernel → rows-only."""
+    from podcast_plow_spark.functions.summarize import summarize_documents
+
+    return summarize_documents(_t(spark, sf_dir, "documents"), max_words=40, max_sentences=3)
+
+
+def q_pubtype_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16 publication-type mapping as a codegen'd when-chain
+    (reference server/services/evidence.py:542-552)."""
+    ev = _t(spark, sf_dir, "events")
+    t = F.when(F.col("value") >= 400, F.lit("systematic review and meta-analysis"))\
+        .when(F.col("value") >= 300, F.lit("randomised controlled trial"))\
+        .when(F.col("value") >= 200, F.lit("cohort studies"))\
+        .when(F.col("value") >= 100, F.lit("narrative review"))\
+        .when(F.col("value") >= 50, F.lit("field trial"))\
+        .otherwise(F.lit("bench study"))
+    mapped = (
+        F.when(t.isin("meta-analysis", "systematic review and meta-analysis"), F.lit("meta-analysis"))
+        .when(t == "systematic review", F.lit("systematic review"))
+        .when(
+            t.isin(
+                "randomized controlled trial", "randomised controlled trial", "clinical trial",
+                "controlled clinical trial", "multicenter study", "pragmatic clinical trial",
+            ),
+            F.lit("RCT"),
+        )
+        .when(
+            t.isin(
+                "observational study", "cohort studies", "case-control studies",
+                "cross-sectional studies", "comparative study", "prospective studies",
+                "retrospective studies",
+            ),
+            F.lit("observational"),
+        )
+        .when(t.contains("review"), F.lit("systematic review"))
+        .when(t.contains("trial"), F.lit("RCT"))
+        .otherwise(F.lit("mechanistic"))
+    )
+    return (
+        ev.select(mapped.alias("pub_type"))
+        .groupBy("pub_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pub_type")
+    )
+
+
+_SQL_PUBTYPE = """
+WITH t AS (
+  SELECT CASE WHEN value >= 400 THEN 'systematic review and meta-analysis'
+              WHEN value >= 300 THEN 'randomised controlled trial'
+              WHEN value >= 200 THEN 'cohort studies'
+              WHEN value >= 100 THEN 'narrative review'
+              WHEN value >= 50 THEN 'field trial'
+              ELSE 'bench study' END AS pt
+  FROM events
+)
+SELECT CASE WHEN pt IN ('meta-analysis', 'systematic review and meta-analysis') THEN 'meta-analysis'
+            WHEN pt = 'systematic review' THEN 'systematic review'
+            WHEN pt IN ('randomized controlled trial','randomised controlled trial','clinical trial',
+                        'controlled clinical trial','multicenter study','pragmatic clinical trial') THEN 'RCT'
+            WHEN pt IN ('observational study','cohort studies','case-control studies',
+                        'cross-sectional studies','comparative study','prospective studies',
+                        'retrospective studies') THEN 'observational'
+            WHEN pt LIKE '%review%' THEN 'systematic review'
+            WHEN pt LIKE '%trial%' THEN 'RCT'
+            ELSE 'mechanistic' END AS pub_type,
+       COUNT(*) AS n
+FROM t GROUP BY 1 ORDER BY pub_type
+"""
+
+
+# ----------------------------------------------------------------------
 # driver API
 # ----------------------------------------------------------------------
 
@@ -598,6 +1281,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "chunk_documents": q_chunk_documents,
+        "budgeted_selection": q_budgeted_selection,
+        "duration_roundtrip": q_duration_roundtrip,
+        "singularize": q_singularize,
+        "claim_predicate": q_claim_predicate,
+        "topic_domain": q_topic_domain,
+        "evidence_top6": q_evidence_top6,
+        "sessionize": q_sessionize,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "lang_id": q_lang_id,
+        "bpe_token_count": q_bpe_token_count,
+        "recency_nulls_last": q_recency_nulls_last,
+        "first_by_source_rank": q_first_by_source_rank,
+        "semi_join_urgent": q_semi_join_urgent,
+        "having_gate": q_having_gate,
+        "shipping_priority": q_shipping_priority,
+        "collect_evidence_lists": q_collect_evidence_lists,
+        "upsert_customers": q_upsert_customers,
+        "insert_if_absent": q_insert_if_absent,
+        "dedup_gc": q_dedup_gc,
+        "stance_classify": q_stance_classify,
+        "summarize_docs": q_summarize_docs,
+        "pubtype_classify": q_pubtype_classify,
     }
 
 
@@ -624,7 +1330,29 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dedup": _SQL_NGRAM_JACCARD,
         "simhash_fingerprints": _simhash_oracle_sql(),
         "minhash_signatures": _minhash_oracle_sql(),
-        # minhash_lsh_dedup / lsh_cosine_topk: banding + hyperplane LSH
-        # are not SQL-expressible → rows-only driver check; recall
-        # floors asserted in tests/test_dedup.py / tests/test_similarity.py
+        "chunk_documents": _SQL_CHUNKS,
+        "budgeted_selection": _SQL_BUDGETED,
+        "duration_roundtrip": _SQL_DURATION,
+        "singularize": _SQL_SINGULARIZE,
+        "claim_predicate": _SQL_CLAIM_PRED,
+        "topic_domain": _SQL_TOPIC,
+        "evidence_top6": _SQL_EVIDENCE6,
+        "sessionize": _SQL_SESSIONIZE,
+        "rolling_fingerprint": _SQL_ROLLING_FP,
+        "lang_id": _SQL_LANG_ID,
+        "bpe_token_count": _SQL_BPE,
+        "recency_nulls_last": _SQL_RECENCY,
+        "first_by_source_rank": _SQL_SOURCE_RANK,
+        "semi_join_urgent": _SQL_SEMI_URGENT,
+        "having_gate": _SQL_HAVING,
+        "shipping_priority": _SQL_SHIPPING,
+        "collect_evidence_lists": _SQL_COLLECT,
+        "upsert_customers": _SQL_UPSERT,
+        "insert_if_absent": _SQL_INSERT_ABSENT,
+        "dedup_gc": _SQL_DEDUP_GC,
+        "pubtype_classify": _SQL_PUBTYPE,
+        # Rows-only (non-SQL-expressible) entries: minhash_lsh_dedup /
+        # lsh_cosine_topk (LSH banding), stance_classify (regex
+        # lookbehind loops), summarize_docs (per-doc python pipeline).
+        # Each is invariant-tested in tests/ instead.
     }

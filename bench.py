@@ -52,7 +52,7 @@ def main() -> None:
     try:
         from podcast_plow_spark.crawl.bench import frontier_throughput
 
-        crawl = frontier_throughput(spark, n_urls=int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "1000000")))
+        crawl = frontier_throughput(spark, n_urls=int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "300000")))
         timings["frontier_throughput_urls_per_sec"] = round(crawl, 1)
     except Exception:  # noqa: BLE001 — engine not built yet / optional
         pass

@@ -76,6 +76,12 @@ class CrawlEngine:
         self.image_table_path = image_table_path
         self.cfg = config or CrawlConfig()
         self._robots_bodies: dict[str, str] | None = None
+        # incremental seen-filter: built once from the frontier, then
+        # only each epoch's insertions are OR-merged in (never a full
+        # rescan; saturation beyond sizing is safe — the exact backstop
+        # keeps correctness, only fpr degrades)
+        self._bloom = None
+        self._bloom_capacity = 1_000_000
 
     # -- helpers ---------------------------------------------------------
 
@@ -193,7 +199,14 @@ class CrawlEngine:
         seen = frontier.select("url_canon")
         bloom = None
         if self.cfg.use_bloom:
-            bloom = build_bloom(seen, "url_canon", bits_per_item=self.cfg.bloom_bits_per_item)
+            if self._bloom is None:
+                self._bloom = build_bloom(
+                    seen,
+                    "url_canon",
+                    expected_items=self._bloom_capacity,
+                    bits_per_item=self.cfg.bloom_bits_per_item,
+                )
+            bloom = self._bloom
         unseen, stats = seen_filter_exact(cand, seen, bloom, "url_canon", measure_fpr=self.cfg.use_bloom)
 
         # --- enqueue (deterministic seq continues from next_seq)
@@ -203,8 +216,12 @@ class CrawlEngine:
             max_attempts=self.cfg.max_attempts,
             num_partitions=self.cfg.num_partitions,
             seq_base=next_seq - 1,
-        )
+        ).cache()
         n_new = new_rows.count()
+        if self.cfg.use_bloom and n_new:
+            # incremental maintenance: OR in only this epoch's insertions
+            delta = build_bloom(new_rows.select("url_canon"), "url_canon", like=self._bloom)
+            self._bloom = self._bloom.merge(delta)
 
         # --- mark batch done, persist frontier
         updated = fr.mark_done(frontier, batch.select("seq"))

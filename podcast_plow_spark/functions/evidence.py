@@ -1,0 +1,148 @@
+"""Evidence kernels: negation-aware term counting, stance
+classification, publication-type mapping, query building.
+
+Reference parity (re-derived):
+- X13 negation-aware counting: reference
+  ``server/services/evidence.py:555-565`` — ``\\b``-bounded phrase
+  regex with negative lookbehinds for the negating prefixes.
+- X15 ``classify_stance``: reference
+  ``server/services/evidence.py:568-606`` — pos&neg → mixed; mixed
+  terms → mixed; one-sided → supports/contradicts; claim-directional
+  fallbacks; default mixed.
+- X16 ``classify_publication_type``: reference
+  ``server/services/evidence.py:542-552`` — ordered alias map, then
+  review/trial substring fallbacks, default mechanistic.
+
+All exposed both as pure functions (unit-testable, oracle-shareable)
+and as Arrow-vectorized pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+__all__ = [
+    "count_occurrences",
+    "classify_stance",
+    "classify_publication_type",
+    "classify_stance_udf",
+    "classify_publication_type_udf",
+]
+
+POSITIVE_KEYWORDS = (
+    "significant improvement", "significant increase", "significant reduction",
+    "improved", "improvement", "effective", "efficacy", "benefit",
+    "beneficial", "reduced risk", "reduction", "decreased", "lower",
+    "enhanced", "supports", "support", "associated with", "increase",
+    "increased", "improves", "improve",
+)
+NEGATIVE_KEYWORDS = (
+    "no significant", "not significant", "not associated", "no effect",
+    "does not", "did not", "failed to", "without effect",
+    "increase in risk", "increased risk", "worsened", "adverse", "harm",
+    "no change", "null",
+)
+MIXED_KEYWORDS = (
+    "mixed results", "inconclusive", "limited evidence", "uncertain",
+    "conflicting", "insufficient",
+)
+NEGATING_PREFIXES = (
+    "no ", "no significant ", "not ", "failed to ", "did not ",
+    "does not ", "without ", "lack of ",
+)
+EVIDENCE_TYPE_MAP: list[tuple[str, tuple[str, ...]]] = [
+    ("meta-analysis", ("meta-analysis", "systematic review and meta-analysis")),
+    ("systematic review", ("systematic review",)),
+    ("RCT", ("randomized controlled trial", "randomised controlled trial",
+             "clinical trial", "controlled clinical trial", "multicenter study",
+             "pragmatic clinical trial")),
+    ("observational", ("observational study", "cohort studies",
+                       "case-control studies", "cross-sectional studies",
+                       "comparative study", "prospective studies",
+                       "retrospective studies")),
+]
+
+
+def count_occurrences(text: str, phrase: str, *, ignore_negated: bool = False) -> int:
+    """X13 (reference evidence.py:555-565)."""
+    if not phrase:
+        return 0
+    pattern = re.escape(phrase.lower())
+    boundary = r"\b" if re.search(r"[a-z0-9]", phrase.lower()) else ""
+    if ignore_negated:
+        lookbehind = "".join(f"(?<!{re.escape(p)})" for p in NEGATING_PREFIXES)
+        regex = re.compile(f"{lookbehind}{boundary}{pattern}{boundary}")
+    else:
+        regex = re.compile(f"{boundary}{pattern}{boundary}")
+    return len(regex.findall(text))
+
+
+def classify_stance(claim_text: str, title: str, abstract: str) -> str:
+    """X15 (reference evidence.py:568-606)."""
+    claim = (claim_text or "").lower()
+    combined = f"{title or ''} {abstract or ''}".lower()
+
+    positive = sum(count_occurrences(combined, t, ignore_negated=True) for t in POSITIVE_KEYWORDS)
+    negative = sum(count_occurrences(combined, t) for t in NEGATIVE_KEYWORDS)
+    mixed = sum(count_occurrences(combined, t) for t in MIXED_KEYWORDS)
+
+    if positive and negative:
+        return "mixed"
+    if mixed:
+        return "mixed"
+    if positive and not negative:
+        return "supports"
+    if negative and not positive:
+        return "contradicts"
+
+    if any(w in claim for w in ("increase", "improve", "boost", "support")):
+        if "no" in combined or "not" in combined:
+            return "contradicts"
+        if any(t in combined for t in ("increase", "improve", "improved", "increased", "supports")):
+            return "supports"
+    if any(w in claim for w in ("reduce", "lower", "decrease", "prevent")):
+        if "no" in combined or "not" in combined:
+            return "contradicts"
+        if any(t in combined for t in ("reduction", "reduced", "decrease", "decreased", "lower")):
+            return "supports"
+    if "risk" in claim:
+        if "increased risk" in combined and "no" not in combined:
+            return "supports"
+        if "no" in combined and "risk" in combined:
+            return "contradicts"
+    return "mixed"
+
+
+def classify_publication_type(publication_types: Sequence[str]) -> str:
+    """X16 (reference evidence.py:542-552)."""
+    lowered = [pt.lower() for pt in publication_types]
+    for mapped, aliases in EVIDENCE_TYPE_MAP:
+        for alias in aliases:
+            if alias in lowered:
+                return mapped
+    if any("review" in pt for pt in lowered):
+        return "systematic review"
+    if any("trial" in pt for pt in lowered):
+        return "RCT"
+    return "mechanistic"
+
+
+@pandas_udf(StringType())
+def classify_stance_udf(claim: pd.Series, title: pd.Series, abstract: pd.Series) -> pd.Series:
+    return pd.Series(
+        [classify_stance(c, t, a) for c, t, a in zip(claim, title, abstract)]
+    )
+
+
+@pandas_udf(StringType())
+def classify_publication_type_udf(types_joined: pd.Series) -> pd.Series:
+    """Input: publication types joined by '|' (array columns don't fit
+    scalar pandas UDF signatures cleanly)."""
+    return types_joined.map(
+        lambda s: classify_publication_type((s or "").split("|") if s else [])
+    )

@@ -100,13 +100,22 @@ def build_bloom(
     expected_items: int | None = None,
     k: int = 6,
     bits_per_item: int = 12,
+    like: "BloomFilter | None" = None,
 ) -> BloomFilter:
     """Per-partition blocked Blooms built in mapPartitions, merged via
     ``treeAggregate`` (logarithmic merge depth — at 10^10 keys the
-    driver receives O(log P) partial filters, not P)."""
-    n = expected_items or seen.count()
-    proto = BloomFilter.sized_for(n, bits_per_item=bits_per_item, k=k)
-    n_blocks, kk = proto.n_blocks, proto.k
+    driver receives O(log P) partial filters, not P).
+
+    ``like`` builds with another filter's geometry so the result can be
+    merged into it (incremental maintenance: per epoch, build over only
+    the epoch's insertions and OR into the running filter — never
+    re-scan the full seen set)."""
+    if like is not None:
+        n_blocks, kk = like.n_blocks, like.k
+    else:
+        n = expected_items or seen.count()
+        proto = BloomFilter.sized_for(n, bits_per_item=bits_per_item, k=k)
+        n_blocks, kk = proto.n_blocks, proto.k
 
     def comb_op(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return a | b
@@ -188,7 +197,16 @@ def seen_filter_exact(
         probed = probed.cache()
     definite_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
-    truly_new = maybe.join(seen.select(key_col).distinct(), key_col, "left_anti")
+    # Exact backstop WITHOUT shuffling the (huge) seen side: the Bloom
+    # already shrank `maybe` to (true dupes + false positives), so
+    #   hits      = seen ⋉ broadcast(maybe)   — seen streamed map-side
+    #   truly_new = maybe ▷ broadcast(hits)   — hits ≤ |maybe|, tiny
+    # Two broadcast joins, zero shuffle of the frontier. (A plain
+    # maybe ▷ seen anti-join would shuffle all 10^10 seen keys every
+    # epoch — the Bloom exists precisely to prevent that.)
+    maybe_keys = maybe.select(key_col)
+    hits = seen.select(key_col).join(F.broadcast(maybe_keys), key_col, "left_semi")
+    truly_new = maybe.join(F.broadcast(hits), key_col, "left_anti")
     unseen = definite_new.unionByName(truly_new)
 
     if not measure_fpr:
