@@ -1248,6 +1248,58 @@ FROM t GROUP BY 1 ORDER BY pub_type
 
 
 # ----------------------------------------------------------------------
+# Claim extraction pipeline (F8/X6/X7/X18/X19/X20/W4/D4/K7 composed)
+# ----------------------------------------------------------------------
+
+
+def _synthetic_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.substring(F.col("text"), 1, 120),
+            F.lit(". The host says that creatine improves memory. "),
+            F.lit("I remember a story about it. Magnesium supports deep sleep."),
+        ).alias("text"),
+    )
+
+
+def q_extract_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full claim pipeline (reference worker/claim_extraction.py:336-371)
+    — per-transcript python kernel → rows-only; semantics frozen in
+    tests/test_html_segments_queries.py."""
+    from podcast_plow_spark.operators.segments import extract_claims_df
+
+    return extract_claims_df(_synthetic_transcripts(spark, sf_dir))
+
+
+def q_segment_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 segment builder (reference worker/claim_extraction.py:201-265)
+    — rows-only; duration invariants frozen in tests."""
+    import pandas as pd
+
+    from podcast_plow_spark.functions.summarize import iter_sentences
+    from podcast_plow_spark.operators.segments import build_segments
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                for i, seg in enumerate(build_segments(iter_sentences(text or ""))):
+                    rows.append(
+                        {"doc_id": did, "segment_idx": i, "start_ms": seg.start_ms,
+                         "end_ms": seg.end_ms, "n_words": len(seg.text.split())}
+                    )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                columns=["doc_id", "segment_idx", "start_ms", "end_ms", "n_words"]
+            )
+
+    return _synthetic_transcripts(spark, sf_dir).mapInPandas(
+        run, schema="doc_id long, segment_idx int, start_ms long, end_ms long, n_words long"
+    )
+
+
+# ----------------------------------------------------------------------
 # driver API
 # ----------------------------------------------------------------------
 
@@ -1304,6 +1356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stance_classify": q_stance_classify,
         "summarize_docs": q_summarize_docs,
         "pubtype_classify": q_pubtype_classify,
+        "extract_claims": q_extract_claims,
+        "segment_transcripts": q_segment_transcripts,
     }
 
 

@@ -82,14 +82,26 @@ def count_occurrences(text: str, phrase: str, *, ignore_negated: bool = False) -
     return len(regex.findall(text))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
+def _stance_counts(combined: str) -> tuple[int, int, int]:
+    """Claim-independent keyword tallies, memoized — 42 regex scans per
+    distinct text; corpora are duplicate-heavy (titles repeat), so the
+    cache collapses the vectorized UDF's per-row cost."""
+    positive = sum(count_occurrences(combined, t, ignore_negated=True) for t in POSITIVE_KEYWORDS)
+    negative = sum(count_occurrences(combined, t) for t in NEGATIVE_KEYWORDS)
+    mixed = sum(count_occurrences(combined, t) for t in MIXED_KEYWORDS)
+    return positive, negative, mixed
+
+
 def classify_stance(claim_text: str, title: str, abstract: str) -> str:
     """X15 (reference evidence.py:568-606)."""
     claim = (claim_text or "").lower()
     combined = f"{title or ''} {abstract or ''}".lower()
 
-    positive = sum(count_occurrences(combined, t, ignore_negated=True) for t in POSITIVE_KEYWORDS)
-    negative = sum(count_occurrences(combined, t) for t in NEGATIVE_KEYWORDS)
-    mixed = sum(count_occurrences(combined, t) for t in MIXED_KEYWORDS)
+    positive, negative, mixed = _stance_counts(combined)
 
     if positive and negative:
         return "mixed"
