@@ -281,6 +281,20 @@ class CrawlEngine:
         frontier = self.store.read_table(self.spark, "frontier")
         return {r["url_canon"] for r in frontier.select("url_canon").distinct().collect()}
 
+    def verify_fetched_payloads(self, min_psnr_db: float = 40.0) -> DataFrame:
+        """Per-row payload invariant over everything this crawl fetched
+        (BASELINE.json input_hint): decoded-pixel PSNR ≥ 40 dB (lossy)
+        + caption equality vs the recomputed reference row. The image
+        ``bytes`` column is touched only here (column pruning keeps it
+        out of the crawl itself); nothing is collected to the driver."""
+        from podcast_plow_spark.sources.images import check_invariants
+
+        assert self.image_table_path, "engine was constructed without an image table"
+        fetched = self.store.read_table(self.spark, "fetched_images")
+        images = self.spark.read.parquet(self.image_table_path)
+        rows = images.join(fetched.select("image_id").distinct(), "image_id", "left_semi")
+        return check_invariants(rows, min_psnr_db)
+
     def fetched_image_ids(self) -> list[str]:
         t = self.store.read_table(self.spark, "fetched_images")
         log = self.store.read_table(self.spark, "crawl_log").where(F.col("kind") == "image")

@@ -124,6 +124,14 @@ def _parse_duration(value: str | None) -> int | None:
     return None
 
 
+def spotify_id_col(link: "F.Column") -> "F.Column":
+    """F6 — spotify id projection (reference server/ingest/feeds.py:145-150):
+    for a link containing open.spotify.com, take the last path segment."""
+    is_spotify = link.contains("open.spotify.com")
+    last_seg = F.regexp_extract(link, r"/([^/?#]+)(?:[?#].*)?$", 1)
+    return F.when(is_spotify, last_seg).otherwise(F.lit(None))
+
+
 def parse_feed_entries(feeds: DataFrame, url_col: str = "url", xml_col: str = "xml") -> DataFrame:
     """(url, xml) → exploded entry rows. Vectorized per Arrow batch."""
 

@@ -191,19 +191,25 @@ def check_invariants(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                n = int(row.image_id.split("-")[-1])
-                ref = _pixels_for(n, row.w, row.h)
-                dec = decode_image(row.bytes, row.fmt, row.w, row.h)
-                p = psnr(ref, dec)
-                cap_ok = row.caption == _caption_for(n)
-                ph_ok = int(row.phash) == phash64(ref)
+                # corrupted payloads mark the ROW failed — one truncated
+                # blob must never kill a 10^10-row invariant job
+                try:
+                    n = int(row.image_id.split("-")[-1])
+                    ref = _pixels_for(n, row.w, row.h)
+                    dec = decode_image(row.bytes, row.fmt, row.w, row.h)
+                    p = psnr(ref, dec)
+                    cap_ok = row.caption == _caption_for(n)
+                    ph_ok = int(row.phash) == phash64(ref)
+                    passed = bool(p >= min_psnr_db and cap_ok and ph_ok)
+                except (ValueError, NotImplementedError):
+                    p, cap_ok, ph_ok, passed = -1.0, False, False, False
                 out.append(
                     {
                         "image_id": row.image_id,
                         "psnr_db": min(p, 1e6),
                         "caption_ok": cap_ok,
                         "phash_ok": ph_ok,
-                        "passed": bool(p >= min_psnr_db and cap_ok and ph_ok),
+                        "passed": passed,
                     }
                 )
             yield pd.DataFrame(out)
