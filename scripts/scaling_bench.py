@@ -149,6 +149,12 @@ The reference's quantitative surface (politeness budgets, timeouts,
 retry math) is tabulated in `BASELINE.md`; those constants bound the
 oracle crawl that the engine must (and does) match exactly —
 see tests/test_crawl_parity.py.
+
+## 10^10 design point
+
+Partitioning math, seen-filter sharding, and the per-epoch shuffle
+budget for the full-scale frontier are worked through in
+`BENCH/SCALE_DESIGN.md`.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)
