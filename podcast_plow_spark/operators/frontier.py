@@ -334,6 +334,51 @@ def dedupe_by_fingerprint(candidates: DataFrame, frontier: DataFrame | None) -> 
     return fresh.join(active, "fingerprint", "left_anti")
 
 
+def update_progress(
+    frontier: DataFrame,
+    updates: DataFrame,
+    total_key: str = "total_chunks",
+    done_key: str = "completed_chunks",
+) -> DataFrame:
+    """Q7 — progress merge into the payload map (reference
+    ``server/services/jobs.py:343-390``: ``payload || {"progress":
+    {..., percent_complete: round(done/total*100, 4)}}``).
+
+    ``updates``: (seq, total_chunks, completed_chunks). The map merge
+    is ``map_concat`` with the new keys winning — the jsonb ``||``
+    analog. percent is stringified at 4 dp to match the reference's
+    ``round(..., 4)``.
+    """
+    pct = F.when(
+        F.col("__u_total") > 0,
+        F.round(F.col("__u_done") * 100.0 / F.col("__u_total"), 4),
+    ).otherwise(F.lit(0.0))
+    upd = updates.select(
+        F.col("seq").alias("__useq"),
+        F.col(total_key).cast("long").alias("__u_total"),
+        F.col(done_key).cast("long").alias("__u_done"),
+    )
+    joined = frontier.join(F.broadcast(upd), frontier["seq"] == upd["__useq"], "left")
+    progress_map = F.create_map(
+        F.lit("progress.total_chunks"), F.col("__u_total").cast("string"),
+        F.lit("progress.completed_chunks"), F.col("__u_done").cast("string"),
+        F.lit("progress.percent_complete"), pct.cast("string"),
+    )
+    # jsonb `||` is last-wins; Spark's map_concat THROWS on duplicate
+    # keys (mapKeyDedupPolicy=EXCEPTION) — drop the old progress.* keys
+    # before concatenating so re-applying progress is idempotent
+    progress_keys = ("progress.total_chunks", "progress.completed_chunks", "progress.percent_complete")
+    old_without_progress = F.map_filter(
+        F.coalesce(F.col("payload"), F.expr("map()")),
+        lambda k, _v: ~k.isin(*progress_keys),
+    )
+    merged = F.map_concat(old_without_progress, progress_map)
+    out = joined.withColumn(
+        "payload", F.when(F.col("__useq").isNotNull(), merged).otherwise(F.col("payload"))
+    )
+    return out.drop("__useq", "__u_total", "__u_done")
+
+
 def queue_stats(frontier: DataFrame) -> DataFrame:
     """Q10: ``GROUP BY status`` counts (reference server/manage.py:362-364)."""
     return frontier.groupBy("status").agg(F.count(F.lit(1)).alias("n")).orderBy("status")

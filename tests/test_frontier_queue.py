@@ -106,3 +106,22 @@ def test_queue_stats(spark, frontier):
     updated = fr.mark_done(frontier, batch.select("seq"))
     stats = {r["status"]: r["n"] for r in fr.queue_stats(updated).collect()}
     assert stats == {"finished": 1, "queued": 3}
+
+
+def test_update_progress_merges_payload(spark, frontier):
+    updates = spark.createDataFrame([(1, 10, 4)], "seq long, total_chunks int, completed_chunks int")
+    # seq 1 corresponds to one of the enqueued rows (dense seq mode)
+    out = fr.update_progress(frontier, updates)
+    row = out.where(F.col("seq") == 1).collect()[0]
+    p = row["payload"]
+    assert p["progress.total_chunks"] == "10"
+    assert p["progress.completed_chunks"] == "4"
+    assert p["progress.percent_complete"] == "40.0"
+    untouched = out.where(F.col("seq") == 2).collect()[0]
+    assert untouched["payload"] is None
+
+
+def test_update_progress_zero_total(spark, frontier):
+    updates = spark.createDataFrame([(1, 0, 0)], "seq long, total_chunks int, completed_chunks int")
+    row = fr.update_progress(frontier, updates).where(F.col("seq") == 1).collect()[0]
+    assert row["payload"]["progress.percent_complete"] == "0.0"
