@@ -1152,6 +1152,40 @@ SELECT event_id FROM (
 """
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join (two broadcast dims), revenue by
+    nation — exercises Catalyst join reordering + broadcast selection."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .where(c["c_nationkey"] == s["s_nationkey"])
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+_SQL_LOCAL_SUPPLIER = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
 # ----------------------------------------------------------------------
 # Evidence + summarization kernels (X13-X16, X20-X23, A5 pipeline)
 # ----------------------------------------------------------------------
@@ -1358,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pubtype_classify": q_pubtype_classify,
         "extract_claims": q_extract_claims,
         "segment_transcripts": q_segment_transcripts,
+        "local_supplier_volume": q_local_supplier_volume,
     }
 
 
@@ -1405,6 +1440,7 @@ def oracle_sql() -> dict[str, str]:
         "insert_if_absent": _SQL_INSERT_ABSENT,
         "dedup_gc": _SQL_DEDUP_GC,
         "pubtype_classify": _SQL_PUBTYPE,
+        "local_supplier_volume": _SQL_LOCAL_SUPPLIER,
         # Rows-only (non-SQL-expressible) entries: minhash_lsh_dedup /
         # lsh_cosine_topk (LSH banding), stance_classify (regex
         # lookbehind loops), summarize_docs (per-doc python pipeline).

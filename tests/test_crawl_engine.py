@@ -134,3 +134,45 @@ class TestImageInvariant:
         )
         res = check_invariants(images)
         assert res.where(F.col("passed")).count() == 0
+
+
+class TestSaltHotHosts:
+    def test_hot_host_spread_cold_untouched(self, spark):
+        from podcast_plow_spark.crawl.bench import synthetic_frontier
+        from podcast_plow_spark.operators.politeness import salt_hot_hosts
+        from pyspark.sql import functions as F
+
+        fr_df = synthetic_frontier(spark, 20_000, 8).select(
+            F.col("url").alias("url_canon"), "host"
+        )
+        salted = salt_hot_hosts(fr_df, hot_threshold=1000, n_salts=8).cache()
+        hot = salted.where(F.col("host") == "hot.example.com")
+        n_salts_used = hot.select("host_salt").distinct().count()
+        assert n_salts_used == 8, "hot host must spread across all salts"
+        cold = salted.where(F.col("host") != "hot.example.com")
+        assert cold.select("host_salt").distinct().collect()[0]["host_salt"] == 0
+        # deterministic: same url → same salt on re-run
+        again = salt_hot_hosts(fr_df.repartition(3), hot_threshold=1000, n_salts=8)
+        a = {r["url_canon"]: r["host_salt"] for r in salted.collect()}
+        b = {r["url_canon"]: r["host_salt"] for r in again.collect()}
+        assert a == b
+        salted.unpersist()
+
+    def test_budget_division_keeps_per_host_rate(self, spark):
+        """Politeness spacing × n_salts per salt group ⇒ the union of all
+        salts' schedules respects the real per-host delay in aggregate."""
+        from podcast_plow_spark.operators.politeness import salt_hot_hosts, schedule_fetches
+        from pyspark.sql import functions as F
+
+        rows = [("hot.com", f"https://hot.com/{i}", i + 1) for i in range(64)]
+        df = spark.createDataFrame(rows, "host string, url_canon string, crawl_rank long")
+        salted = salt_hot_hosts(df, hot_threshold=10, n_salts=4)
+        # schedule each salt group with delay × n_salts
+        sched = schedule_fetches(
+            salted.withColumn("host", F.concat_ws("#", "host", "host_salt")),
+            crawl_delay_sec=1.0 * 4,
+        )
+        # per true host: 4 salt lanes × spacing 4s ⇒ ≥ 16 fetches need ≥ 12s span;
+        # aggregate rate ≈ 1/sec as budgeted
+        per_offset = sched.groupBy("fetch_offset_sec").count().collect()
+        assert all(r["count"] <= 4 for r in per_offset), "≤ n_salts concurrent per instant"
