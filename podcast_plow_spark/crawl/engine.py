@@ -31,14 +31,21 @@ Scale design notes (10^10 frontier):
 
 from __future__ import annotations
 
+import datetime as dt
 import os
+from collections.abc import Callable
 from dataclasses import dataclass
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from podcast_plow_spark.functions.urls import canonicalize_url_udf, extract_host_udf
+from podcast_plow_spark.functions.urls import (
+    canonicalize_url_udf,
+    extract_host_udf,
+    image_id_col,
+    url_kind_col,
+)
 from podcast_plow_spark.operators import frontier as fr
 from podcast_plow_spark.operators.politeness import robots_filter
 from podcast_plow_spark.operators.seen import build_bloom, seen_filter_exact
@@ -59,6 +66,10 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_bits_per_item: int = 12
     max_attempts: int = 3
+    #: injectable clock — the dequeue honors ``run_at <= clock()``
+    #: (reference dequeue_job's ``run_at <= now()``), so rows requeued
+    #: with a backoff delay by mark_failed are NOT dequeued early.
+    clock: Callable[[], dt.datetime] | None = None
 
 
 class CrawlEngine:
@@ -150,8 +161,11 @@ class CrawlEngine:
         frontier = frontier.cache()
 
         # --- dequeue with politeness cap (greedy-equivalent: per-host
-        # rank ≤ cap, then distributed top-K in canonical order)
-        runnable = frontier.where(F.col("status") == fr.STATUS_QUEUED)
+        # rank ≤ cap, then distributed top-K in canonical order).
+        # runnable = status=='queued' AND run_at <= now — the full Q2
+        # predicate, so backoff-requeued rows wait out their delay.
+        now = (self.cfg.clock or dt.datetime.utcnow)()
+        runnable = fr.runnable(frontier, now)
         w_host = Window.partitionBy("host").orderBy(*DEQUEUE_ORDER())
         eligible = runnable.withColumn("__hr", F.row_number().over(w_host)).where(
             F.col("__hr") <= self.cfg.per_host_cap
@@ -162,8 +176,9 @@ class CrawlEngine:
         if batch.count() == 0:
             return False
 
-        kind = F.when(F.col("url_canon").endswith("feed.xml"), F.lit("feed")).otherwise(F.lit("image"))
-        batch = batch.withColumn("kind", kind)
+        # shared kernel (functions/urls.py) — same path-based semantics
+        # as the oracle's url_kind, so feed.xml?page=2 etc. cannot drift
+        batch = batch.withColumn("kind", url_kind_col(F.col("url_canon")))
 
         # --- crawl log (the observable crawl ordering)
         log_new = batch.select(
@@ -186,9 +201,8 @@ class CrawlEngine:
         # --- fetch: images → payload rows
         img_batch = batch.where(F.col("kind") == "image").select(
             "url_canon",
-            # last *path* segment — query/fragment excluded (matches the
-            # oracle's urlparse().path semantics)
-            F.regexp_extract(F.col("url_canon"), r"/([^/?#]+)(?:[?#].*)?$", 1).alias("image_id"),
+            # shared kernel: last path segment, trailing slashes stripped
+            image_id_col(F.col("url_canon")).alias("image_id"),
         )
         fetched_new = img_batch.select("image_id", "url_canon", F.lit(epoch).cast("long").alias("epoch"))
         old_fetched = self.store.read_table(self.spark, "fetched_images")

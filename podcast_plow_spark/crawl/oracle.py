@@ -23,7 +23,12 @@ import os
 from dataclasses import dataclass, field
 from urllib.parse import urlparse
 
-from podcast_plow_spark.functions.urls import canonicalize_url, extract_host
+from podcast_plow_spark.functions.urls import (
+    canonicalize_url,
+    extract_host,
+    image_id_from_url,
+    url_kind,
+)
 from podcast_plow_spark.operators.politeness import parse_robots, robots_allowed
 from podcast_plow_spark.sources.feeds import _parse_one_feed
 from podcast_plow_spark.sources.fixtures import transport_path
@@ -39,8 +44,9 @@ class OracleResult:
     epochs: int = 0
 
 
-def _kind(url_canon: str) -> str:
-    return "feed" if urlparse(url_canon).path.endswith("feed.xml") else "image"
+# kind / image_id come from the SAME kernels the engine uses
+# (functions/urls.py) — engine and oracle cannot drift.
+_kind = url_kind
 
 
 def sequential_crawl(
@@ -117,7 +123,7 @@ def sequential_crawl(
                     if e["parse_error"] is None and e["enclosure_url"]:
                         candidates.append((r["seq"], e["entry_pos"], e["enclosure_url"]))
             else:
-                image_id = urlparse(r["url_canon"]).path.rstrip("/").rsplit("/", 1)[-1]
+                image_id = image_id_from_url(r["url_canon"])
                 res.fetched_images.append(image_id)
 
         candidates.sort(key=lambda t: (t[0], t[1]))

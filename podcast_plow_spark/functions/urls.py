@@ -47,6 +47,10 @@ __all__ = [
     "normalize_youtube_url_udf",
     "url_fingerprint",
     "url_fingerprint_udf",
+    "url_kind",
+    "url_kind_col",
+    "image_id_from_url",
+    "image_id_col",
 ]
 
 # --- generic canonicalizer (north rule) -------------------------------
@@ -307,3 +311,42 @@ def host_hash_py(host: str | None, num_buckets: int | None = None) -> int:
     """Python mirror of :func:`host_hash_col` for the oracle."""
     h = zlib.crc32((host or "").encode("utf-8"))
     return h % num_buckets if num_buckets else h
+
+
+# --- URL classification kernels (engine ↔ oracle shared) -----------------
+#
+# The crawl engine and the sequential oracle MUST classify URLs and
+# derive image ids identically, or parity silently depends on fixture
+# shapes (a feed URL with a query string, an image URL with a trailing
+# slash). The Python functions below are the single source of truth
+# (used by the oracle); the Column versions are their JVM-side twins,
+# frozen equal by tests/test_kernels.py::test_url_kind_kernel_parity.
+
+
+def url_kind(url_canon: str | None) -> str:
+    """'feed' iff the URL *path* ends with feed.xml (query/fragment
+    excluded — ``urlparse().path`` semantics), else 'image'."""
+    return "feed" if urlparse(url_canon or "").path.endswith("feed.xml") else "image"
+
+
+def image_id_from_url(url_canon: str | None) -> str:
+    """Last path segment with trailing slashes stripped —
+    ``urlparse(url).path.rstrip('/').rsplit('/', 1)[-1]``."""
+    return urlparse(url_canon or "").path.rstrip("/").rsplit("/", 1)[-1]
+
+
+def _path_col(url: Column) -> Column:
+    # parse_url is JVM-side (no Python); empty-path URLs yield NULL →
+    # coalesce to '' to match urlparse's '' path.
+    return F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+
+
+def url_kind_col(url: Column) -> Column:
+    """Column twin of :func:`url_kind`."""
+    return F.when(_path_col(url).endswith("feed.xml"), F.lit("feed")).otherwise(F.lit("image"))
+
+
+def image_id_col(url: Column) -> Column:
+    """Column twin of :func:`image_id_from_url`."""
+    stripped = F.regexp_replace(_path_col(url), "/+$", "")
+    return F.element_at(F.split(stripped, "/"), -1)

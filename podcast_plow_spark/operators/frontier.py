@@ -346,18 +346,28 @@ def update_progress(
 
     ``updates``: (seq, total_chunks, completed_chunks). The map merge
     is ``map_concat`` with the new keys winning — the jsonb ``||``
-    analog. percent is stringified at 4 dp to match the reference's
-    ``round(..., 4)``.
+    analog. Clamping matches the reference exactly
+    (``update_job_progress``): ``total = max(total, 0)``;
+    ``completed`` clamped into ``[0, total]`` when total > 0 (else
+    floored at 0); ``percent_complete = round(min(1.0,
+    completed/total), 4)`` — a 0–1 *fraction*, not a percentage —
+    stringified at 4 dp.
     """
-    pct = F.when(
-        F.col("__u_total") > 0,
-        F.round(F.col("__u_done") * 100.0 / F.col("__u_total"), 4),
-    ).otherwise(F.lit(0.0))
     upd = updates.select(
         F.col("seq").alias("__useq"),
-        F.col(total_key).cast("long").alias("__u_total"),
-        F.col(done_key).cast("long").alias("__u_done"),
-    )
+        F.greatest(F.col(total_key).cast("long"), F.lit(0)).alias("__u_total"),
+        F.col(done_key).cast("long").alias("__u_done_raw"),
+    ).withColumn(
+        "__u_done",
+        F.when(
+            F.col("__u_total") > 0,
+            F.greatest(F.lit(0), F.least(F.col("__u_done_raw"), F.col("__u_total"))),
+        ).otherwise(F.greatest(F.lit(0), F.col("__u_done_raw"))),
+    ).drop("__u_done_raw")
+    pct = F.when(
+        F.col("__u_total") > 0,
+        F.round(F.least(F.lit(1.0), F.col("__u_done") / F.col("__u_total")), 4),
+    ).otherwise(F.lit(0.0))
     joined = frontier.join(F.broadcast(upd), frontier["seq"] == upd["__useq"], "left")
     progress_map = F.create_map(
         F.lit("progress.total_chunks"), F.col("__u_total").cast("string"),

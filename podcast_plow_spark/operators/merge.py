@@ -56,17 +56,23 @@ def upsert_coalesce(
     data_cols = [c for c in target.columns if c not in keys]
 
     src = source.select(
+        F.lit(True).alias("__s_present"),
         *[F.col(k).alias(f"__k_{k}") for k in keys],
         *[F.col(c).alias(f"__s_{c}") for c in source.columns if c not in keys],
     )
+    # presence is detected via sentinel columns, NOT key nullness — a
+    # row whose key column happens to be NULL must survive the merge
+    # as itself rather than be mistaken for the absent side.
+    tgt = target.withColumn("__t_present", F.lit(True))
     cond = None
     for k in keys:
-        c = target[k] == src[f"__k_{k}"]
+        c = tgt[k] == src[f"__k_{k}"]
         cond = c if cond is None else cond & c
-    joined = target.join(src, cond, "full_outer")
+    joined = tgt.join(src, cond, "full_outer")
 
-    matched_t = target[keys[0]].isNotNull()
-    matched_s = src[f"__k_{keys[0]}"].isNotNull()
+    matched_t = tgt["__t_present"].isNotNull()
+    matched_s = src["__s_present"].isNotNull()
+    target = tgt  # merged()/key_cols below resolve columns against the joined side
 
     def merged(c: str) -> Column:
         s = F.col(f"__s_{c}") if f"__s_{c}" in joined.columns else F.lit(None)

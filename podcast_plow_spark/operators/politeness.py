@@ -78,11 +78,14 @@ def parse_robots(text: str, user_agent: str) -> list[tuple[bool, str]]:
 
 
 def _pattern_to_regex(pattern: str) -> re.Pattern[str]:
+    # RFC 9309 §2.2.3: only a *pattern-final* '$' anchors the match;
+    # an interior '$' is a literal character and must be escaped.
     out = []
-    for ch in pattern:
+    last = len(pattern) - 1
+    for i, ch in enumerate(pattern):
         if ch == "*":
             out.append(".*")
-        elif ch == "$":
+        elif ch == "$" and i == last:
             out.append("$")
         else:
             out.append(re.escape(ch))

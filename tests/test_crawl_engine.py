@@ -176,3 +176,32 @@ class TestSaltHotHosts:
         # aggregate rate ≈ 1/sec as budgeted
         per_offset = sched.groupBy("fetch_offset_sec").count().collect()
         assert all(r["count"] <= 4 for r in per_offset), "≤ n_salts concurrent per instant"
+
+
+def test_run_epoch_honors_run_at(spark, fixtures, tmp_path_factory):
+    """Q2 dequeue contract: a row requeued with a future run_at (backoff)
+    must NOT be dequeued before its delay elapses (reference
+    dequeue_job: status='queued' AND run_at <= now())."""
+    import datetime as dt
+
+    from podcast_plow_spark.operators import frontier as fr
+
+    d = str(tmp_path_factory.mktemp("runat"))
+    store = SnapshotStore(d)
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    clock_now = {"t": t0}
+    cfg = CrawlConfig(batch_size=8, per_host_cap=2, num_partitions=4, clock=lambda: clock_now["t"])
+    eng = CrawlEngine(spark, store, fixtures.root, config=cfg)
+    eng.bootstrap(f"{fixtures.root}/feeds.txt")
+
+    # push every queued row's run_at into the future
+    frontier = store.read_table(spark, "frontier")
+    future = t0 + dt.timedelta(seconds=3600)
+    delayed = frontier.withColumn("run_at", F.lit(future).cast("timestamp"))
+    store.write_table("frontier", delayed)
+    store.commit(0, store.latest_metadata())
+
+    assert eng.run_epoch() is False  # nothing runnable yet
+
+    clock_now["t"] = t0 + dt.timedelta(seconds=3601)
+    assert eng.run_epoch() is True  # delay elapsed → dequeued

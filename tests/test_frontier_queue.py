@@ -116,9 +116,23 @@ def test_update_progress_merges_payload(spark, frontier):
     p = row["payload"]
     assert p["progress.total_chunks"] == "10"
     assert p["progress.completed_chunks"] == "4"
-    assert p["progress.percent_complete"] == "40.0"
+    # reference stores round(min(1.0, done/total), 4) — a 0-1 FRACTION
+    assert p["progress.percent_complete"] == "0.4"
     untouched = out.where(F.col("seq") == 2).collect()[0]
     assert untouched["payload"] is None
+
+
+def test_update_progress_clamps_like_reference(spark, frontier):
+    # done > total → completed clamped to total, percent capped at 1.0;
+    # negative done → floored at 0 (reference update_job_progress)
+    updates = spark.createDataFrame(
+        [(1, 10, 25), (2, 10, -3)], "seq long, total_chunks int, completed_chunks int"
+    )
+    rows = {r["seq"]: r["payload"] for r in fr.update_progress(frontier, updates).where(F.col("seq").isin(1, 2)).collect()}
+    assert rows[1]["progress.completed_chunks"] == "10"
+    assert rows[1]["progress.percent_complete"] == "1.0"
+    assert rows[2]["progress.completed_chunks"] == "0"
+    assert rows[2]["progress.percent_complete"] == "0.0"
 
 
 def test_update_progress_zero_total(spark, frontier):

@@ -126,3 +126,57 @@ class TestParaphrase:
         from podcast_plow_spark.functions.text import paraphrase
 
         assert paraphrase("Magnesium helps sleep").endswith(".")
+
+
+class TestUrlKindKernelParity:
+    """The engine's JVM-side kind/image_id Columns must equal the
+    oracle's Python kernels on adversarial URL shapes (query strings on
+    feeds, trailing slashes on images) — engine↔oracle cannot drift."""
+
+    CORPUS = [
+        "https://example.com/feed.xml",
+        "https://example.com/shows/a/feed.xml",
+        "https://example.com/feed.xml?page=2",          # query string — still a feed
+        "https://example.com/feed.xml?page=2&x=feed.xml",
+        "https://example.com/img/photo-1.png",
+        "https://example.com/img/photo-2.png/",          # trailing slash
+        "https://example.com/img/photo-3.png///",
+        "https://example.com/notafeed.xml",
+        "https://example.com/feed.xmlish",
+        "https://example.com/",
+        "https://example.com",
+        "https://example.com/a/feed.xml/",               # slash AFTER feed.xml → image
+    ]
+
+    def test_url_kind_kernel_parity(self, spark):
+        from pyspark.sql import functions as F
+
+        from podcast_plow_spark.functions.urls import (
+            image_id_col,
+            image_id_from_url,
+            url_kind,
+            url_kind_col,
+        )
+
+        df = spark.createDataFrame([(u,) for u in self.CORPUS], "url string")
+        got = {
+            r["url"]: (r["kind"], r["image_id"])
+            for r in df.select(
+                "url",
+                url_kind_col(F.col("url")).alias("kind"),
+                image_id_col(F.col("url")).alias("image_id"),
+            ).collect()
+        }
+        for u in self.CORPUS:
+            assert got[u][0] == url_kind(u), u
+            assert got[u][1] == image_id_from_url(u), u
+
+    def test_python_kernel_expected_values(self):
+        from podcast_plow_spark.functions.urls import image_id_from_url, url_kind
+
+        assert url_kind("https://h/feed.xml?page=2") == "feed"
+        assert url_kind("https://h/x/feed.xml") == "feed"
+        assert url_kind("https://h/feed.xml/") == "image"
+        assert image_id_from_url("https://h/img/a.png/") == "a.png"
+        assert image_id_from_url("https://h/img/a.png?x=1") == "a.png"
+        assert image_id_from_url("https://h/") == ""

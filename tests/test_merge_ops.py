@@ -82,3 +82,30 @@ def test_dedup_gc_min_id_primary(spark):
     kept, deleted = dedup_gc(df, "key", "id")
     assert {(r["key"], r["id"]) for r in kept.collect()} == {("k1", 3), ("k2", 7)}
     assert {r["id"] for r in deleted.collect()} == {5, 9}
+
+
+class TestUpsertNullKeys:
+    def test_target_row_with_null_key_survives_unchanged(self, spark):
+        # presence is detected via sentinels, not key nullness: a target
+        # row whose key is NULL must come through as itself, not be
+        # mistaken for a source-only row (which would NULL every column)
+        tgt = spark.createDataFrame(
+            [(None, "null-key-title", "d0"), (2, "keep", None)],
+            "id int, title string, description string",
+        )
+        src = spark.createDataFrame([(3, "new", "nd")], "id int, title string, description string")
+        rows = upsert_coalesce(tgt, src, "id").collect()
+        by_title = {r["title"]: r for r in rows}
+        assert "null-key-title" in by_title
+        r = by_title["null-key-title"]
+        assert r["id"] is None and r["description"] == "d0"
+        assert by_title["new"]["id"] == 3
+        assert len(rows) == 3
+
+    def test_source_row_with_null_key_inserts_as_itself(self, spark):
+        src = spark.createDataFrame([(None, "src-null", "sd")], "id int, title string, description string")
+        rows = upsert_coalesce(_target(spark), src, "id").collect()
+        by_title = {r["title"]: r for r in rows}
+        assert by_title["src-null"]["description"] == "sd"
+        assert by_title["old-title"]["id"] == 1
+        assert len(rows) == 3

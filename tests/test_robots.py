@@ -50,3 +50,20 @@ def test_empty_body_allows_all():
 def test_tie_prefers_allow():
     body = "User-agent: *\nDisallow: /a/b\nAllow: /a/b\n"
     assert robots_allowed(parse_robots(body, "x"), "/a/b/c") is True
+
+
+def test_interior_dollar_is_literal():
+    # RFC 9309: only a pattern-FINAL '$' anchors; an interior '$' is a
+    # literal character. A rule like 'Disallow: /a$b' must match the
+    # literal path '/a$b' (and not become an impossible regex).
+    body = "User-agent: *\nDisallow: /a$b\n"
+    r = parse_robots(body, "plow-spark")
+    assert robots_allowed(r, "/a$b/page") is False
+    assert robots_allowed(r, "/ab") is True
+
+
+def test_trailing_dollar_still_anchors():
+    body = "User-agent: *\nDisallow: /exact$\n"
+    r = parse_robots(body, "plow-spark")
+    assert robots_allowed(r, "/exact") is False
+    assert robots_allowed(r, "/exactly") is True
