@@ -478,21 +478,36 @@ WITH sh AS (
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # df_cap=100: stop-phrase shingles (df > 100) are excluded from
+    # candidate generation — the cap is mirrored EXACTLY in the oracle
+    # SQL below, so the correctness gate checks the capped semantics.
     from podcast_plow_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k_shingle=3, jaccard_threshold=0.5)
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k_shingle=3, jaccard_threshold=0.5, df_cap=100
+    )
 
 
 _SQL_NGRAM_JACCARD = _SQL_SHINGLES_CTE + """
-, sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-common AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+, ok_sh AS (  -- df-cap 100: same hot-shingle exclusion as the Spark operator
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM ok_sh a JOIN ok_sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (  -- exact verify against the FULL shingle sets
+  SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
   GROUP BY 1, 2
 )
 SELECT a_id, b_id, ROUND(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 4) AS jaccard
 FROM common JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
-WHERE n_common * 1.0 / (na.n_sh + nb.n_sh - n_common) >= 0.5
+WHERE ROUND(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 4) >= 0.5
 """
 
 
@@ -546,13 +561,73 @@ SELECT doc_id, {cols} FROM hashed GROUP BY doc_id
 
 
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs, exact-verified. Non-SQL-expressible
-    banding → rows-only driver check; recall vs the exact n-gram
-    Jaccard operator is asserted in tests/test_dedup.py."""
+    """MinHash-LSH near-dup pairs, exact-verified — now ORACLE-checked:
+    the banding (band signature = '_'-concat of the band's minhash
+    values, candidate = bucket equi-join, exact-Jaccard verify) is
+    fully SQL-expressible; the DuckDB oracle enumerates the same
+    affine permutation constants. bucket_cap=100 mirrored in SQL."""
     from podcast_plow_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), k_shingle=3, num_hashes=16, n_bands=4, jaccard_threshold=0.5
+        _t(spark, sf_dir, "documents"),
+        k_shingle=3,
+        num_hashes=16,
+        n_bands=4,
+        jaccard_threshold=0.5,
+        bucket_cap=100,
+    )
+
+
+def _minhash_lsh_oracle_sql(num_hashes: int = 16, n_bands: int = 4, bucket_cap: int = 100) -> str:
+    """DuckDB mirror of minhash_lsh_pairs: same shingles, same affine
+    minhash constants, same '_'-joined band signatures, same bucket
+    cap, same exact-verify — byte-equal jaccard at 4 dp."""
+    from podcast_plow_spark.operators.dedup import MINHASH_P, _affine_params
+
+    rows_per_band = num_hashes // n_bands
+    mh_cols = ",\n".join(
+        f"MIN((h * {a} + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_affine_params(num_hashes, 42))
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {band} AS band, {concat} AS bsig FROM sig".format(
+            band=b,
+            concat=" || '_' || ".join(
+                f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return (
+        _SQL_SHINGLES_CTE
+        + f"""
+, hashed AS (
+  SELECT doc_id, CAST('0x' || substr(sha256(shingle), 1, 15) AS BIGINT) % {MINHASH_P} AS h FROM sh
+),
+sig AS (SELECT doc_id, {mh_cols} FROM hashed GROUP BY doc_id),
+bands AS (
+{band_selects}
+),
+ok_bands AS (  -- bucket_cap {bucket_cap}: degenerate buckets excluded, as in Spark
+  SELECT doc_id, band, bsig FROM bands
+  WHERE (band, bsig) IN (SELECT (band, bsig) FROM bands GROUP BY band, bsig HAVING COUNT(*) <= {bucket_cap})
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM ok_bands a JOIN ok_bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, ROUND(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 4) AS jaccard
+FROM common JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
+WHERE ROUND(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 4) >= 0.5
+"""
     )
 
 
@@ -1441,8 +1516,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_gc": _SQL_DEDUP_GC,
         "pubtype_classify": _SQL_PUBTYPE,
         "local_supplier_volume": _SQL_LOCAL_SUPPLIER,
-        # Rows-only (non-SQL-expressible) entries: minhash_lsh_dedup /
-        # lsh_cosine_topk (LSH banding), stance_classify (regex
+        "minhash_lsh_dedup": _minhash_lsh_oracle_sql(),
+        # Rows-only (non-SQL-expressible) entries: lsh_cosine_topk
+        # (seeded-numpy hyperplanes), stance_classify (regex
         # lookbehind loops), summarize_docs (per-doc python pipeline).
         # Each is invariant-tested in tests/ instead.
     }

@@ -15,18 +15,25 @@ One snapshot per epoch ⇒ the crawl is resumable from any epoch
 latest committed snapshot and produces byte-identical final state
 (tested in tests/test_crawl_engine.py).
 
-Scale design notes (10^10 frontier):
-- dequeue = filter → per-host rank (window partitioned by host — the
-  shuffle key is host_hash, co-locating politeness state) → global
-  ``orderBy().limit(K)`` = TakeOrderedAndProject (distributed top-K,
-  no global sort).
+Scale design notes (10^10 frontier — these are now code, not notes):
+- the frontier is a BUCKETED store table (``bucket(host_hash)``);
+  an epoch rewrites only the buckets its batch/discoveries touch —
+  every other bucket carries forward as a manifest pointer
+  (``SnapshotStore.merge_buckets``; tested bucket-pruned in
+  tests/test_snapshot_store.py).
+- dequeue = ``dequeue_batch_polite``: runnable filter (pushed to the
+  scan) → sampled global-order threshold → politeness window over the
+  ~K·safety-row *prefix* only. No window/Exchange over the full
+  store-read frontier (tests/test_plans.py).
+- crawl_log / lineage / fetched_images are APPEND tables — one new
+  part per epoch, history never re-read or re-written.
 - crawl_rank / seq windows run on ≤ K or ≤ fan-out(K) rows per epoch,
   never on the full frontier.
 - the ``bytes`` image column is touched only by the payload join and
   the invariant job — column pruning keeps every other scan narrow.
-- the seen filter's Bloom is rebuilt per epoch from the frontier at
-  fixture scale; at 10^10 it is maintained incrementally (add the
-  epoch's insertions) — the exact anti-join backstop is unchanged.
+- the seen filter's Bloom is built once then maintained incrementally
+  (each epoch ORs in its insertions) — the exact anti-join backstop is
+  unchanged.
 """
 
 from __future__ import annotations
@@ -35,7 +42,6 @@ import datetime as dt
 import os
 from collections.abc import Callable
 from dataclasses import dataclass
-from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -53,8 +59,6 @@ from podcast_plow_spark.sources.feeds import fetch_and_parse_feeds, load_seeds
 from podcast_plow_spark.sources.snapshots import SnapshotStore
 
 __all__ = ["CrawlConfig", "CrawlEngine"]
-
-DEQUEUE_ORDER = fr.DEQUEUE_ORDER
 
 
 @dataclass
@@ -134,18 +138,22 @@ class CrawlEngine:
             seq_base=0,
         )
         n = rows.count()
-        self.store.write_table("frontier", rows)
+        # frontier is BUCKETED by host_hash (Iceberg bucket(N, host)
+        # analog) — epochs later rewrite only the buckets they touch
+        self.store.write_bucketed("frontier", rows, bucket_col="host_hash")
+        # side tables are APPEND tables: each epoch adds one part,
+        # history is never re-read or re-written
         empty_log = self.spark.createDataFrame(
             [], "epoch long, crawl_rank long, url_canon string, host string, kind string"
         )
-        self.store.write_table("crawl_log", empty_log)
-        self.store.write_table(
+        self.store.append_table("crawl_log", empty_log)
+        self.store.append_table(
             "lineage",
             self.spark.createDataFrame(
                 [], "partition_id int, batch_epoch long, urls_in long, urls_out long, bloom_fpr double"
             ),
         )
-        self.store.write_table(
+        self.store.append_table(
             "fetched_images", self.spark.createDataFrame([], "image_id string, url_canon string, epoch long")
         )
         self.store.commit(0, {"epoch": 0, "next_seq": n + 1})
@@ -158,21 +166,18 @@ class CrawlEngine:
         next_seq = int(meta.get("next_seq", 1))
         frontier = self.store.read_table(self.spark, "frontier")
         assert frontier is not None, "bootstrap first"
-        frontier = frontier.cache()
 
-        # --- dequeue with politeness cap (greedy-equivalent: per-host
-        # rank ≤ cap, then distributed top-K in canonical order).
-        # runnable = status=='queued' AND run_at <= now — the full Q2
-        # predicate, so backoff-requeued rows wait out their delay.
+        # --- dequeue with politeness cap. Full Q2 predicate
+        # (status=='queued' AND run_at <= now, so backoff-requeued rows
+        # wait out their delay) + greedy-equivalent per-host cap.
+        # dequeue_batch_polite never windows the full frontier: above
+        # its cutoff it ranks hosts only inside a sampled global-order
+        # prefix — the store-read frontier sees filter+scan, no
+        # Exchange (tests/test_plans.py).
         now = (self.cfg.clock or dt.datetime.utcnow)()
-        runnable = fr.runnable(frontier, now)
-        w_host = Window.partitionBy("host").orderBy(*DEQUEUE_ORDER())
-        eligible = runnable.withColumn("__hr", F.row_number().over(w_host)).where(
-            F.col("__hr") <= self.cfg.per_host_cap
-        ).drop("__hr")
-        batch = eligible.orderBy(*DEQUEUE_ORDER()).limit(self.cfg.batch_size)
-        w_rank = Window.orderBy(*DEQUEUE_ORDER())
-        batch = batch.withColumn("crawl_rank", F.row_number().over(w_rank).cast("long")).cache()
+        batch = fr.dequeue_batch_polite(
+            frontier, self.cfg.batch_size, now, self.cfg.per_host_cap
+        ).cache()
         if batch.count() == 0:
             return False
 
@@ -180,12 +185,11 @@ class CrawlEngine:
         # as the oracle's url_kind, so feed.xml?page=2 etc. cannot drift
         batch = batch.withColumn("kind", url_kind_col(F.col("url_canon")))
 
-        # --- crawl log (the observable crawl ordering)
+        # --- crawl log (the observable crawl ordering): append-only
         log_new = batch.select(
             F.lit(epoch).cast("long").alias("epoch"), "crawl_rank", "url_canon", "host", "kind"
         )
-        old_log = self.store.read_table(self.spark, "crawl_log")
-        self.store.write_table("crawl_log", old_log.unionByName(log_new))
+        self.store.append_table("crawl_log", log_new)
 
         # --- fetch: feeds → entries
         feed_batch = batch.where(F.col("kind") == "feed").select(F.col("url_canon").alias("url"), "seq")
@@ -205,8 +209,7 @@ class CrawlEngine:
             image_id_col(F.col("url_canon")).alias("image_id"),
         )
         fetched_new = img_batch.select("image_id", "url_canon", F.lit(epoch).cast("long").alias("epoch"))
-        old_fetched = self.store.read_table(self.spark, "fetched_images")
-        self.store.write_table("fetched_images", old_fetched.unionByName(fetched_new))
+        self.store.append_table("fetched_images", fetched_new)
 
         # --- candidate projection + seen filter
         cand = self._project_candidates(cand_raw)
@@ -237,10 +240,20 @@ class CrawlEngine:
             delta = build_bloom(new_rows.select("url_canon"), "url_canon", like=self._bloom)
             self._bloom = self._bloom.merge(delta)
 
-        # --- mark batch done, persist frontier
-        updated = fr.mark_done(frontier, batch.select("seq"))
-        new_frontier = updated.unionByName(new_rows)
-        self.store.write_table("frontier", new_frontier)
+        # --- mark batch done + insert discoveries, rewriting ONLY the
+        # buckets this epoch touched (bucket-pruned MERGE; the other
+        # buckets carry forward as manifest pointers, zero I/O —
+        # SCALE_DESIGN.md "bucket-local MERGE", now real)
+        touched = sorted(
+            {int(r[0]) for r in batch.select("host_hash").distinct().collect()}
+            | {int(r[0]) for r in new_rows.select("host_hash").distinct().collect()}
+        )
+        old_touched = self.store.read_table(self.spark, "frontier", bucket_ids=touched)
+        if old_touched is None:
+            updated_touched = new_rows
+        else:
+            updated_touched = fr.mark_done(old_touched, batch.select("seq")).unionByName(new_rows)
+        self.store.merge_buckets("frontier", updated_touched)
 
         # --- lineage
         urls_in = batch.count()
@@ -264,12 +277,11 @@ class CrawlEngine:
                 [(0, epoch, urls_in, n_new, 0.0)],
                 "partition_id int, batch_epoch long, urls_in long, urls_out long, bloom_fpr double",
             )
-        old_lineage = self.store.read_table(self.spark, "lineage")
-        self.store.write_table("lineage", old_lineage.unionByName(lineage_new))
+        self.store.append_table("lineage", lineage_new)
 
         self.store.commit(epoch, {"epoch": epoch, "next_seq": next_seq + n_new})
-        frontier.unpersist()
         batch.unpersist()
+        new_rows.unpersist()
         return True
 
     # -- full run ------------------------------------------------------------

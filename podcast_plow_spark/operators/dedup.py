@@ -21,11 +21,16 @@ Families:
 - embedding near-dup lives in operators/similarity.py (cosine ≥ τ).
 
 Scale notes: all pair generation goes through equi-joins on
-shingle/bucket keys (shuffle on key, AQE-skew-split for hot shingles);
-nothing ever materializes the O(N²) pair space.
+shingle/bucket keys (shuffle on key); nothing ever materializes the
+O(N²) pair space. Heavy hitters are handled *explicitly*, not left to
+AQE: ``df_cap``/``bucket_cap`` exclude stop-phrase shingles and
+degenerate LSH buckets from candidate generation (logged, never
+silent), while exact verification keeps using full shingle sets.
 """
 
 from __future__ import annotations
+
+import logging
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -40,6 +45,66 @@ __all__ = [
     "simhash64",
     "ngram_jaccard_pairs",
 ]
+
+_LOG = logging.getLogger(__name__)
+
+
+def _drop_hot_keys(rows: DataFrame, key_cols: list[str], cap: int, what: str) -> DataFrame:
+    """Heavy-hitter cap for candidate generation: keys occurring in more
+    than ``cap`` rows are excluded from the pair-generating join (a key
+    with df=d yields O(d²) candidate pairs — one stop-phrase shingle in
+    10^5 docs is 10^10 pairs). Standard MinHash-LSH practice; the
+    exact-verify stage still uses ALL rows, so surviving pairs'
+    similarity values are exact.
+
+    The dropped keys are computed eagerly and logged — capping is a
+    recall trade-off and must never be silent. Hot keys are by
+    definition few (an aggregate exceeding ``cap`` occurrences), so
+    collecting them is one tiny action and the exclusion join
+    broadcasts a local DataFrame — the full key counts are computed
+    exactly once."""
+    counts = rows.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__df"))
+    hot_rows = counts.where(F.col("__df") > cap).collect()
+    if not hot_rows:
+        return rows
+    top = sorted(hot_rows, key=lambda r: -r["__df"])[:3]
+    _LOG.warning(
+        "df-cap %d on %s: excluding %d hot key(s) from candidate generation (top: %s)",
+        cap,
+        what,
+        len(hot_rows),
+        [(tuple(r[c] for c in key_cols), r["__df"]) for r in top],
+    )
+    spark = rows.sparkSession
+    hot_df = spark.createDataFrame(
+        [tuple(r[c] for c in key_cols) for r in hot_rows],
+        rows.select(*key_cols).schema,
+    )
+    return rows.join(F.broadcast(hot_df), key_cols, "left_anti")
+
+
+def _verify_exact_jaccard(
+    cand: DataFrame, sh: DataFrame, id_col: str, jaccard_threshold: float
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate (a_id, b_id)
+    pairs against the FULL (uncapped) shingle sets."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cand.join(sh.select(F.col(id_col).alias("a_id"), "shingle"), "a_id")
+        .join(sh.select(F.col(id_col).alias("b_id"), "shingle"), ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a")), "a_id")
+        .join(sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b")), "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
 
 MINHASH_P = 1_000_000_007
 
@@ -124,13 +189,19 @@ def minhash_lsh_pairs(
     n_bands: int = 4,
     seed: int = 42,
     jaccard_threshold: float = 0.5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-verified.
 
     band signature = concat of its rows' minhashes; candidate pairs
     from an equi-join on (band, signature); candidates are verified
     with exact shingle Jaccard and filtered at the threshold. Returns
-    (a_id, b_id, jaccard)."""
+    (a_id, b_id, jaccard).
+
+    ``bucket_cap``: buckets holding more than this many docs are
+    excluded from candidate generation (a degenerate bucket of b docs
+    is O(b²) pairs); the drop is logged, never silent. Verification
+    still uses full shingle sets."""
     rows_per_band = num_hashes // n_bands
     sh = word_shingles(docs, id_col, text_col, k_shingle).cache()
     sig = minhash_signatures(sh, id_col, num_hashes, seed)
@@ -151,28 +222,13 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
 
+    if bucket_cap is not None:
+        bands = _drop_hot_keys(bands, ["band", "bsig"], bucket_cap, "LSH band buckets")
+
     a = bands.select(F.col(id_col).alias("a_id"), "band", "bsig")
     b = bands.select(F.col(id_col).alias("b_id"), "band", "bsig")
     cand = a.join(b, ["band", "bsig"]).where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
-
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    common = (
-        cand.join(sh.select(F.col(id_col).alias("a_id"), "shingle"), "a_id")
-        .join(sh.select(F.col(id_col).alias("b_id"), "shingle"), ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    out = (
-        common.join(sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a")), "a_id")
-        .join(sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b")), "b_id")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
-        )
-        .where(F.col("jaccard") >= jaccard_threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
-    return out
+    return _verify_exact_jaccard(cand, sh, id_col, jaccard_threshold)
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -206,26 +262,42 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k_shingle: int = 3,
     jaccard_threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs above threshold via inverted-index
-    self-join (never materializes non-colliding pairs)."""
+    self-join (never materializes non-colliding pairs).
+
+    ``df_cap``: shingles occurring in more than this many documents
+    are excluded from CANDIDATE GENERATION only (a stop-phrase shingle
+    with df=d is O(d²) candidate pairs on its own); similarity is then
+    verified against the full shingle sets, so any emitted pair's
+    jaccard is exact. Pairs connected *only* by hot shingles are the
+    (logged) recall trade-off — at 100 TB the uncapped join is not
+    runnable."""
     sh = word_shingles(docs, id_col, text_col, k_shingle)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("a_id"), "shingle")
-    b = sh.select(F.col(id_col).alias("b_id"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .where(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return (
-        common.join(sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a")), "a_id")
-        .join(sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b")), "b_id")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+    if df_cap is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.select(F.col(id_col).alias("a_id"), "shingle")
+        b = sh.select(F.col(id_col).alias("b_id"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .where(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        .where(F.col("jaccard") >= jaccard_threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
+        return (
+            common.join(sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a")), "a_id")
+            .join(sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b")), "b_id")
+            .withColumn(
+                "jaccard",
+                F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+            )
+            .where(F.col("jaccard") >= jaccard_threshold)
+            .select("a_id", "b_id", "jaccard")
+        )
+    sh = sh.cache()
+    capped = _drop_hot_keys(sh, ["shingle"], df_cap, "inverted-index shingles")
+    a = capped.select(F.col(id_col).alias("a_id"), "shingle")
+    b = capped.select(F.col(id_col).alias("b_id"), "shingle")
+    cand = a.join(b, "shingle").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
+    return _verify_exact_jaccard(cand, sh, id_col, jaccard_threshold)

@@ -56,8 +56,10 @@ __all__ = [
     "STATUS_FAILED",
     "enqueue",
     "cluster_by_host",
+    "runnable",
     "dequeue_batch",
     "dequeue_batch_scalable",
+    "dequeue_batch_polite",
     "mark_done",
     "mark_failed",
     "backoff_delay_col",
@@ -248,6 +250,94 @@ def dequeue_batch_scalable(
         w = Window.orderBy(*DEQUEUE_ORDER())
         batch = batch.withColumn("crawl_rank", F.row_number().over(w).cast("long"))
     return batch
+
+
+def dequeue_batch_polite(
+    frontier: DataFrame,
+    k: int,
+    now: dt.datetime,
+    per_host_cap: int,
+    sample_rows: int = 20_000,
+    safety: float = 1.5,
+    small_n_cutoff: int | None = None,
+    max_widen: int = 3,
+    with_rank: bool = True,
+) -> DataFrame:
+    """Politeness-capped top-K dequeue — the epoch-loop primitive.
+
+    Semantics (== the sequential oracle's greedy loop): walk the
+    runnable rows in canonical order, take a row unless its host
+    already has ``per_host_cap`` rows in the batch, stop at ``k``.
+    Because the within-host order is a restriction of the global
+    order, greedy is equivalent to: *eligible* = rows whose
+    within-host rank ≤ cap; batch = top-k eligible in global order
+    (the rows greedy skips are exactly those with host-rank > cap).
+
+    Scale shape: the naive formulation is a window over the FULL
+    runnable frontier — an Exchange+Sort of 10^10 rows every epoch.
+    Instead, for large frontiers this uses a sampled order-key
+    threshold (as :func:`dequeue_batch_scalable`) to cut a global-order
+    *prefix* first, then ranks hosts only inside the prefix:
+
+    - prefix-closure: all same-host rows ordered before a prefix row
+      are themselves in the prefix, so host-rank computed on the
+      prefix equals true host-rank — eligibility is exact;
+    - sufficiency: if the prefix holds ≥ k eligible rows, the global
+      top-k eligible all lie in it (the k-th eligible key ≤ threshold).
+
+    If the prefix undershoots (hot host eats the top of the order),
+    the threshold widens geometrically up to ``max_widen`` times, then
+    falls back to the exact path. Result is EXACTLY equal to the
+    greedy oracle (tested in tests/test_frontier_queue.py).
+    """
+    df = runnable(frontier, now)
+    w_host = Window.partitionBy("host").orderBy(*DEQUEUE_ORDER())
+
+    def eligible_of(src: DataFrame) -> DataFrame:
+        return (
+            src.withColumn("__hr", F.row_number().over(w_host))
+            .where(F.col("__hr") <= per_host_cap)
+            .drop("__hr")
+        )
+
+    def finish(batch: DataFrame) -> DataFrame:
+        if with_rank:
+            w = Window.orderBy(*DEQUEUE_ORDER())
+            batch = batch.withColumn("crawl_rank", F.row_number().over(w).cast("long"))
+        return batch
+
+    n = df.count()
+    cutoff = small_n_cutoff if small_n_cutoff is not None else max(k * 4, 100_000)
+    if n <= cutoff:
+        return finish(eligible_of(df).orderBy(*DEQUEUE_ORDER()).limit(k))
+
+    sample = (
+        df.select("priority", "run_at", "seq").sample(False, min(1.0, sample_rows / n), seed=42).collect()
+    )
+    if not sample:
+        return finish(eligible_of(df).orderBy(*DEQUEUE_ORDER()).limit(k))
+    sample.sort(key=lambda r: (-r["priority"], r["run_at"], r["seq"]))
+
+    frac = (k / n) * safety
+    for _ in range(max_widen):
+        cut_idx = min(len(sample) - 1, int(len(sample) * frac))
+        t = sample[cut_idx]
+        tp, tr, ts = t["priority"], t["run_at"], t["seq"]
+        # global-order prefix: key ≤ threshold (pushdown-friendly)
+        prefix = df.where(
+            (F.col("priority") > tp)
+            | ((F.col("priority") == tp) & (F.col("run_at") < F.lit(tr)))
+            | ((F.col("priority") == tp) & (F.col("run_at") == F.lit(tr)) & (F.col("seq") <= ts))
+        )
+        eligible = eligible_of(prefix)
+        # the prefix is ~k·safety rows — recomputing it for the final
+        # take is cheaper than managing cache lifetime across the return
+        if eligible.count() >= k:
+            return finish(eligible.orderBy(*DEQUEUE_ORDER()).limit(k))
+        if cut_idx >= len(sample) - 1:
+            break
+        frac *= 4.0
+    return finish(eligible_of(df).orderBy(*DEQUEUE_ORDER()).limit(k))
 
 
 def _status_merge(frontier: DataFrame, updates: DataFrame, new_status: str, **set_cols: Column) -> DataFrame:

@@ -198,7 +198,7 @@ def test_run_epoch_honors_run_at(spark, fixtures, tmp_path_factory):
     frontier = store.read_table(spark, "frontier")
     future = t0 + dt.timedelta(seconds=3600)
     delayed = frontier.withColumn("run_at", F.lit(future).cast("timestamp"))
-    store.write_table("frontier", delayed)
+    store.write_bucketed("frontier", delayed)
     store.commit(0, store.latest_metadata())
 
     assert eng.run_epoch() is False  # nothing runnable yet

@@ -67,3 +67,66 @@ def test_word_shingles_count(spark, docs):
     n_tokens = len(one["text"].split())
     n_shingles = word_shingles(docs.limit(1)).count()
     assert n_shingles <= max(0, n_tokens - 2)
+
+
+class TestDfCap:
+    """Heavy-hitter caps (VERDICT r1 'What's wrong #5'): a planted
+    stop-phrase shingle must not blow up candidate generation, true
+    pairs connected by any non-hot shingle survive unchanged, and the
+    drop is logged (never silent)."""
+
+    def _docs(self, spark):
+        stop = "as seen on tv"  # 4 tokens → three hot 3-shingles planted everywhere
+        rows = [(i, f"{stop} unique{i} filler{i} tokens{i} here{i}") for i in range(60)]
+        # a genuine near-dup pair sharing plenty of non-hot shingles
+        rows += [
+            (100, f"{stop} alpha beta gamma delta epsilon zeta eta theta"),
+            (101, f"{stop} alpha beta gamma delta epsilon zeta eta iota"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cap_bounds_candidates_keeps_true_pairs(self, spark, caplog):
+        import logging
+
+        docs = self._docs(spark)
+        uncapped = {
+            (r["a_id"], r["b_id"], r["jaccard"])
+            for r in ngram_jaccard_pairs(docs, jaccard_threshold=0.5).collect()
+        }
+        with caplog.at_level(logging.WARNING, logger="podcast_plow_spark.operators.dedup"):
+            capped = {
+                (r["a_id"], r["b_id"], r["jaccard"])
+                for r in ngram_jaccard_pairs(docs, jaccard_threshold=0.5, df_cap=10).collect()
+            }
+        # the true near-dup pair survives with its EXACT jaccard
+        assert capped == uncapped == {next(iter(uncapped))} or capped == uncapped
+        assert any((a, b) == (100, 101) for a, b, _ in capped)
+        # the drop was logged
+        assert any("df-cap" in rec.message for rec in caplog.records)
+
+    def test_candidate_generation_is_bounded(self, spark):
+        # with the stop-phrase excluded, the 60 filler docs share no
+        # candidate shingle — pairs collapse to just the planted dup
+        docs = self._docs(spark)
+        capped = ngram_jaccard_pairs(docs, jaccard_threshold=0.0, df_cap=10).collect()
+        assert {(r["a_id"], r["b_id"]) for r in capped} == {(100, 101)}
+
+    def test_lsh_bucket_cap_drops_degenerate_buckets(self, spark, caplog):
+        import logging
+
+        # 40 IDENTICAL docs → every band bucket holds 40 docs → capped out;
+        # plus one distinct near-dup pair that must survive
+        rows = [(i, "common text repeated verbatim in every document body") for i in range(40)]
+        rows += [
+            (200, "rare one alpha beta gamma delta epsilon zeta"),
+            (201, "rare one alpha beta gamma delta epsilon eta"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        with caplog.at_level(logging.WARNING, logger="podcast_plow_spark.operators.dedup"):
+            pairs = {
+                (r["a_id"], r["b_id"])
+                for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5, bucket_cap=10).collect()
+            }
+        assert (200, 201) in pairs
+        assert not any(a < 40 and b < 40 for a, b in pairs)  # degenerate cluster capped out
+        assert any("df-cap" in rec.message for rec in caplog.records)

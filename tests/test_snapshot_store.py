@@ -1,0 +1,203 @@
+"""SnapshotStore bucketed/append semantics — the Iceberg-analog layer
+the 10^10 design depends on (SCALE_DESIGN.md): bucket-pruned MERGE
+rewrites only touched buckets; append tables never re-write history;
+GC keeps every file reachable from retained snapshots."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from podcast_plow_spark.sources.snapshots import SnapshotStore
+
+
+def _frontier_like(spark, ids, bucket_of=lambda i: i % 4):
+    return spark.createDataFrame(
+        [(i, bucket_of(i), f"u{i}", "queued") for i in ids],
+        "seq long, host_hash int, url_canon string, status string",
+    )
+
+
+class TestBucketed:
+    def test_roundtrip_keeps_schema_and_rows(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path))
+        df = _frontier_like(spark, range(20))
+        store.write_bucketed("frontier", df)
+        store.commit(0)
+        back = store.read_table(spark, "frontier")
+        assert sorted(back.columns) == sorted(df.columns)
+        assert back.count() == 20
+        assert {r["host_hash"] for r in back.select("host_hash").distinct().collect()} == {0, 1, 2, 3}
+
+    def test_bucket_pruned_read(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path))
+        store.write_bucketed("frontier", _frontier_like(spark, range(20)))
+        store.commit(0)
+        sub = store.read_table(spark, "frontier", bucket_ids=[1, 3])
+        assert {r["host_hash"] for r in sub.select("host_hash").distinct().collect()} == {1, 3}
+        # pruning happens at the manifest level: only those dirs are read
+        entry = store.table_entry("frontier")
+        assert set(entry["buckets"]) == {"0", "1", "2", "3"}
+
+    def test_merge_rewrites_only_touched_buckets(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path))
+        store.write_bucketed("frontier", _frontier_like(spark, range(20)))
+        store.commit(0)
+        before = dict(store.table_entry("frontier")["buckets"])
+
+        # new content for buckets 1 and 2 only
+        touched = spark.createDataFrame(
+            [(100, 1, "u100", "finished"), (101, 2, "u101", "queued")],
+            "seq long, host_hash int, url_canon string, status string",
+        )
+        rewritten = store.merge_buckets("frontier", touched)
+        store.commit(1)
+        after = dict(store.table_entry("frontier")["buckets"])
+
+        assert rewritten == [1, 2]
+        assert after["0"] == before["0"] and after["3"] == before["3"]  # pointers carried
+        assert after["1"] != before["1"] and after["2"] != before["2"]
+        # content: buckets 1/2 replaced wholesale, 0/3 untouched
+        back = store.read_table(spark, "frontier")
+        assert back.count() == 5 + 5 + 2  # bucket0(5) + bucket3(5) + new(2)
+        assert back.where(F.col("host_hash") == 1).count() == 1
+
+    def test_merge_can_create_new_bucket(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path))
+        store.write_bucketed("frontier", _frontier_like(spark, range(8)))
+        store.commit(0)
+        newb = spark.createDataFrame(
+            [(200, 9, "u200", "queued")], "seq long, host_hash int, url_canon string, status string"
+        )
+        assert store.merge_buckets("frontier", newb) == [9]
+        store.commit(1)
+        assert store.read_table(spark, "frontier", bucket_ids=[9]).count() == 1
+        assert store.read_table(spark, "frontier").count() == 9
+
+    def test_uncommitted_merge_is_invisible(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path))
+        store.write_bucketed("frontier", _frontier_like(spark, range(8)))
+        store.commit(0)
+        touched = spark.createDataFrame(
+            [(100, 1, "u100", "finished")], "seq long, host_hash int, url_canon string, status string"
+        )
+        store.merge_buckets("frontier", touched)
+        # no commit → readers still see snapshot 0 (atomicity)
+        fresh = SnapshotStore(str(tmp_path))
+        assert fresh.read_table(spark, "frontier").count() == 8
+
+
+class TestAppend:
+    def test_appends_accumulate_without_rewrites(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path))
+        store.append_table("log", spark.createDataFrame([(1,)], "epoch long"))
+        store.commit(0)
+        p0 = list(store.table_entry("log")["parts"])
+        store.append_table("log", spark.createDataFrame([(2,), (3,)], "epoch long"))
+        store.commit(1)
+        parts = store.table_entry("log")["parts"]
+        assert parts[: len(p0)] == p0  # old parts untouched (no rewrite)
+        assert len(parts) == len(p0) + 1
+        assert store.read_table(spark, "log").count() == 3
+
+
+class TestExpire:
+    def test_gc_keeps_reachable_mixed_kinds(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path))
+        store.write_bucketed("frontier", _frontier_like(spark, range(8)))
+        store.append_table("log", spark.createDataFrame([(1,)], "epoch long"))
+        store.commit(0)
+        for e in range(1, 5):
+            touched = spark.createDataFrame(
+                [(100 + e, e % 4, f"u{100+e}", "queued")],
+                "seq long, host_hash int, url_canon string, status string",
+            )
+            store.merge_buckets("frontier", touched)
+            store.append_table("log", spark.createDataFrame([(e,)], "epoch long"))
+            store.commit(e)
+        n_front = store.read_table(spark, "frontier").count()
+        n_log = store.read_table(spark, "log").count()
+        store.expire_snapshots(keep_last=2)
+        # everything reachable from the latest snapshot still reads fine
+        assert store.read_table(spark, "frontier").count() == n_front
+        assert store.read_table(spark, "log").count() == n_log
+        # old manifests gone
+        assert len(os.listdir(os.path.join(str(tmp_path), "manifests"))) == 2
+
+    def test_gc_removes_unreachable_versions(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path))
+        for e in range(4):
+            store.write_table("t", spark.createDataFrame([(e,)], "v long"))
+            store.commit(e)
+        versions_before = len(os.listdir(os.path.join(str(tmp_path), "data", "t")))
+        assert versions_before == 4
+        store.expire_snapshots(keep_last=1)
+        assert len(os.listdir(os.path.join(str(tmp_path), "data", "t"))) == 1
+        assert store.read_table(spark, "t").collect()[0]["v"] == 3
+
+
+def test_engine_epoch_touches_only_batch_and_discovery_buckets(spark, tmp_path_factory):
+    """THE bucket-pruned MERGE guarantee at engine level: after an
+    epoch, the only frontier buckets whose manifest pointers moved are
+    those of (a) hosts in the dequeued batch, (b) hosts of newly
+    discovered URLs. Everything else is pointer-carried (zero I/O)."""
+    from podcast_plow_spark.crawl.engine import CrawlConfig, CrawlEngine
+    from podcast_plow_spark.functions.urls import host_hash_py
+    from podcast_plow_spark.sources.fixtures import FixtureSpec, make_fixtures
+
+    root = str(tmp_path_factory.mktemp("fixtures"))
+    fx = make_fixtures(FixtureSpec(root=root, n_feeds=6, entries_per_feed=6))
+    store = SnapshotStore(str(tmp_path_factory.mktemp("store")))
+    npart = 32
+    eng = CrawlEngine(
+        spark,
+        store,
+        fx.root,
+        config=CrawlConfig(batch_size=4, per_host_cap=1, num_partitions=npart),
+    )
+    eng.bootstrap(f"{fx.root}/feeds.txt")
+
+    untouched_seen = 0
+    for epoch in range(1, 6):
+        before = dict(store.table_entry("frontier")["buckets"])
+        if not eng.run_epoch():
+            break
+        after = dict(store.table_entry("frontier")["buckets"])
+
+        log = store.read_table(spark, "crawl_log").where(F.col("epoch") == epoch)
+        batch_hosts = {r["host"] for r in log.select("host").distinct().collect()}
+        new_hosts = {
+            r["host"]
+            for r in store.read_table(spark, "frontier")
+            .where(F.col("discovered_epoch") == epoch)
+            .select("host")
+            .distinct()
+            .collect()
+        }
+        allowed = {str(host_hash_py(h, npart)) for h in batch_hosts | new_hosts}
+        moved = {b for b in after if after[b] != before.get(b)}
+        assert moved <= allowed, f"epoch {epoch}: moved {moved - allowed} beyond touched hosts"
+        untouched_seen += sum(1 for b in before if after.get(b) == before[b])
+    assert untouched_seen > 0  # the pruning actually pruned something
+
+
+def test_engine_on_bucketed_store_matches_oracle(spark, tmp_path_factory):
+    """Crawl parity is layout-independent: the bucketed store + polite
+    dequeue produce the identical ordering/seen set as the oracle."""
+    from podcast_plow_spark.crawl.engine import CrawlConfig, CrawlEngine
+    from podcast_plow_spark.crawl.oracle import sequential_crawl
+    from podcast_plow_spark.sources.fixtures import FixtureSpec, make_fixtures
+
+    root = str(tmp_path_factory.mktemp("fx2"))
+    fx = make_fixtures(FixtureSpec(root=root, n_feeds=5, entries_per_feed=5))
+    store = SnapshotStore(str(tmp_path_factory.mktemp("store2")))
+    eng = CrawlEngine(
+        spark, store, fx.root, config=CrawlConfig(batch_size=6, per_host_cap=2, num_partitions=16)
+    )
+    eng.run(seeds_path=f"{fx.root}/feeds.txt")
+    oracle = sequential_crawl(fx.root, batch_size=6, per_host_cap=2)
+    assert eng.crawl_order() == oracle.crawl_order
+    assert eng.seen_set() == oracle.seen
+    assert eng.fetched_image_ids() == oracle.fetched_images
