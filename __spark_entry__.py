@@ -1291,6 +1291,126 @@ def q_summarize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize_documents(_t(spark, sf_dir, "documents"), max_words=40, max_sentences=3)
 
 
+#: stop words for the luhn_summary driver query (frozen; mirrored in SQL)
+_LUHN_STOPS = ["a", "the", "and", "of", "to", "in", "is", "on"]
+_LUHN_SENT_LEN = 12  # pseudo-sentence length for unpunctuated transcript text
+_LUHN_GAP = 4  # sumy LuhnSummarizer.max_gap_size
+
+
+def q_luhn_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22 sumy-Luhn scoring + top-N selection, as pure Spark Columns.
+
+    sumy's chunk algebra (luhn.py: a chunk opens at a significant word
+    and breaks after max_gap_size=4 consecutive non-significant words;
+    rating = significant²/span with trailing zeros stripped; a
+    single-significant chunk rates 0; sentence rating = max chunk) is
+    relational: consecutive significant positions with delta ≤ gap
+    form one chunk — the sessionize idiom (lag + conditional
+    cumulative sum); span = last−first+1 because trailing zeros never
+    lie between significant words. Stop-word significance makes the
+    clustering non-degenerate; the synthetic documents are
+    unpunctuated transcript-style text, so sentences are 12-token
+    windows (the transcript-chunker convention). Selection: top-N per
+    doc (N = clamp(ceil(words/400), 3, 7) — reference
+    server/services/summarize.py point count), rating desc with
+    stable document-order ties, emitted in document order. The same
+    semantics at Python speed live in
+    functions/summarize.py::luhn_rate_sentence (golden-tested); parity
+    of the two is asserted in tests/test_evidence_and_summary.py."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    base = d.select("doc_id", toks.alias("__toks")).select(
+        "doc_id",
+        F.size("__toks").alias("__nw"),
+        F.posexplode("__toks").alias("__p", "__w"),
+    )
+    base = base.select(
+        "doc_id",
+        "__nw",
+        "__w",
+        (F.col("__p") / _LUHN_SENT_LEN).cast("long").alias("sent_idx"),
+        (F.col("__p") % _LUHN_SENT_LEN).cast("long").alias("__wp"),
+    )
+    sig = base.where(~F.col("__w").isin(*_LUHN_STOPS))
+    w_sent = Window.partitionBy("doc_id", "sent_idx").orderBy("__wp")
+    sig = sig.withColumn(
+        "__new", (F.col("__wp") - F.lag("__wp", 1, -100).over(w_sent) > _LUHN_GAP).cast("int")
+    ).withColumn("__chunk", F.sum("__new").over(w_sent.rowsBetween(Window.unboundedPreceding, 0)))
+    chunks = sig.groupBy("doc_id", "sent_idx", "__chunk").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.min("__wp").alias("__lo"), F.max("__wp").alias("__hi")
+    )
+    chunk_rating = F.when(F.col("__cnt") == 1, F.lit(0.0)).otherwise(
+        F.col("__cnt") * F.col("__cnt") / (F.col("__hi") - F.col("__lo") + 1)
+    )
+    rated = chunks.groupBy("doc_id", "sent_idx").agg(F.round(F.max(chunk_rating), 4).alias("rating"))
+    all_sents = base.select("doc_id", "__nw", "sent_idx").distinct()
+    rated_all = all_sents.join(rated, ["doc_id", "sent_idx"], "left").select(
+        "doc_id",
+        "sent_idx",
+        F.coalesce(F.col("rating"), F.lit(0.0)).alias("rating"),
+        F.greatest(
+            F.lit(3).cast("long"),
+            F.least(F.ceil(F.col("__nw") / F.lit(400.0)).cast("long"), F.lit(7).cast("long")),
+        ).alias("__np"),
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.col("rating").desc(), F.col("sent_idx").asc())
+    top = rated_all.withColumn("__rk", F.row_number().over(w_rank)).where(F.col("__rk") <= F.col("__np"))
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("sent_idx").asc())
+    return top.select(
+        "doc_id",
+        F.row_number().over(w_doc).cast("long").alias("point_no"),
+        "sent_idx",
+        "rating",
+    )
+
+
+_SQL_LUHN_SUMMARY = rf"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS nw,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) - 1 AS p,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), pos AS (
+  SELECT doc_id, nw, w, CAST(p // {_LUHN_SENT_LEN} AS BIGINT) AS sent_idx,
+         CAST(p % {_LUHN_SENT_LEN} AS BIGINT) AS wp
+  FROM base
+), sig AS (
+  SELECT doc_id, sent_idx, wp,
+         CASE WHEN wp - COALESCE(LAG(wp) OVER (PARTITION BY doc_id, sent_idx ORDER BY wp), -100)
+                   > {_LUHN_GAP} THEN 1 ELSE 0 END AS new_chunk
+  FROM pos WHERE w NOT IN ({", ".join("'" + s + "'" for s in _LUHN_STOPS)})
+), chunked AS (
+  SELECT doc_id, sent_idx, wp,
+         SUM(new_chunk) OVER (PARTITION BY doc_id, sent_idx ORDER BY wp
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk
+  FROM sig
+), chunks AS (
+  SELECT doc_id, sent_idx, chunk, COUNT(*) AS cnt, MIN(wp) AS lo, MAX(wp) AS hi
+  FROM chunked GROUP BY 1, 2, 3
+), rated AS (
+  SELECT doc_id, sent_idx,
+         ROUND(MAX(CASE WHEN cnt = 1 THEN 0.0 ELSE cnt * cnt * 1.0 / (hi - lo + 1) END), 4) AS rating
+  FROM chunks GROUP BY 1, 2
+), all_sents AS (
+  SELECT DISTINCT doc_id, nw, sent_idx FROM pos
+), rated_all AS (
+  SELECT a.doc_id, a.sent_idx, COALESCE(r.rating, 0.0) AS rating,
+         GREATEST(CAST(3 AS BIGINT),
+                  LEAST(CAST(CEIL(a.nw / 400.0) AS BIGINT), CAST(7 AS BIGINT))) AS np
+  FROM all_sents a LEFT JOIN rated r ON r.doc_id = a.doc_id AND r.sent_idx = a.sent_idx
+), ranked AS (
+  SELECT doc_id, sent_idx, rating, np,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rating DESC, sent_idx) AS rk
+  FROM rated_all
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sent_idx) AS BIGINT) AS point_no,
+       sent_idx, rating
+FROM ranked WHERE rk <= np
+"""
+
+
 def q_pubtype_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X16 publication-type mapping as a codegen'd when-chain
     (reference server/services/evidence.py:542-552)."""
@@ -1464,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_gc": q_dedup_gc,
         "stance_classify": q_stance_classify,
         "summarize_docs": q_summarize_docs,
+        "luhn_summary": q_luhn_summary,
         "pubtype_classify": q_pubtype_classify,
         "extract_claims": q_extract_claims,
         "segment_transcripts": q_segment_transcripts,
@@ -1517,6 +1638,7 @@ def oracle_sql() -> dict[str, str]:
         "pubtype_classify": _SQL_PUBTYPE,
         "local_supplier_volume": _SQL_LOCAL_SUPPLIER,
         "minhash_lsh_dedup": _minhash_lsh_oracle_sql(),
+        "luhn_summary": _SQL_LUHN_SUMMARY,
         # Rows-only (non-SQL-expressible) entries: lsh_cosine_topk
         # (seeded-numpy hyperplanes), stance_classify (regex
         # lookbehind loops), summarize_docs (per-doc python pipeline).

@@ -12,10 +12,31 @@ Reference parity (re-derived):
   greedy take of ≥6-word sentences until word budget / count cap;
   restore document order.
 - X22 Luhn scoring: the reference delegates to sumy's LuhnSummarizer
-  (``server/services/summarize.py:44-64``); sumy is absent here, so
-  this is the classic Luhn algorithm (significant words = above-mean
-  frequency among len>3 words; window score = significant²/span)
-  with OUR determinism frozen by tests — flagged as a stand-in.
+  constructed with ALL DEFAULTS (``server/services/summarize.py:48-49``
+  — no stemmer ⇒ identity, no stop words ⇒ empty set,
+  significant_percentage=1). This module implements sumy's *published*
+  algorithm exactly (sumy/summarizers/luhn.py + models/tf.py +
+  _summarizer.py semantics, re-derived from the public source):
+
+  * words per sentence: tokens matching ``^[^\\W\\d_]+$`` (sumy's
+    Tokenizer word filter — purely alphabetic), lowercased;
+  * significant stems: the ``int(len(words)·percentage)`` most
+    frequent terms (ties broken by first occurrence — CPython Counter
+    insertion order + stable sort, as in sumy);
+  * sentence rating: Luhn chunking with ``max_gap_size=4`` — a chunk
+    opens at a significant word, extends until 4 consecutive
+    non-significant words, trailing zeros stripped; chunk rating is
+    ``significant²/span`` with the single-significant-word chunk rated
+    0; sentence rating = max chunk rating;
+  * selection: stable sort by rating desc (document order on ties),
+    take N, emit in document order.
+
+  Two declared divergences, both outside the scoring algorithm:
+  sentence boundaries come from this repo's regex splitter (sumy uses
+  nltk punkt — not in this container), and word splits inside
+  contractions differ from nltk word_tokenize ("don't" → don/t vs
+  do). Frozen by a golden-output corpus in
+  tests/test_evidence_and_summary.py.
 - X23 TL;DR formatting: reference ``server/services/summarize.py:91-115``.
 
 The per-document pipeline ships as a grouped pandas UDF
@@ -40,6 +61,10 @@ __all__ = [
     "rank_sentences",
     "select_sentences",
     "luhn_scores",
+    "luhn_words",
+    "luhn_significant_words",
+    "luhn_rate_sentence",
+    "luhn_summarize",
     "format_tldr",
     "summarize_documents",
 ]
@@ -128,25 +153,100 @@ def select_sentences(sentences: list[str], *, max_words: int, max_sentences: int
     return [s for _, s in selected]
 
 
-def luhn_scores(sentences: list[str]) -> list[float]:
-    """X22 stand-in for sumy's LuhnSummarizer (see module docstring)."""
-    freq: Counter[str] = Counter()
-    for s in sentences:
-        freq.update(w for w in WORD_RE.findall(s.lower()) if len(w) > 3)
-    if not freq:
-        return [0.0] * len(sentences)
-    mean_freq = sum(freq.values()) / len(freq)
-    significant = {w for w, c in freq.items() if c >= mean_freq}
-    scores = []
-    for s in sentences:
-        words = WORD_RE.findall(s.lower())
-        sig_pos = [i for i, w in enumerate(words) if w in significant and len(w) > 3]
-        if not sig_pos:
-            scores.append(0.0)
+# --- sumy-Luhn (X22), exact published semantics ------------------------
+
+#: sumy Tokenizer's word filter: purely alphabetic tokens
+LUHN_WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+LUHN_MAX_GAP_SIZE = 4  # sumy LuhnSummarizer.max_gap_size
+
+
+def luhn_words(sentence: str) -> list[str]:
+    """Sentence → sumy-word list (tokens matching ``^[^\\W\\d_]+$``)."""
+    return LUHN_WORD_RE.findall(sentence)
+
+
+def luhn_significant_words(
+    words: list[str],
+    stop_words: frozenset[str] = frozenset(),
+    significant_percentage: float = 1.0,
+) -> tuple[str, ...]:
+    """sumy ``_get_significant_words`` + ``TfDocumentModel
+    .most_frequent_terms``: lowercase, drop stop words, keep the
+    ``int(len(words)·percentage)`` most frequent terms — frequency
+    desc, ties by first occurrence (Counter insertion order under a
+    stable sort, exactly as sumy computes it)."""
+    normed = [w.lower() for w in words]
+    kept = [w for w in normed if w not in stop_words]
+    counts: Counter[str] = Counter(kept)
+    terms = sorted(counts.items(), key=lambda i: -i[1])
+    best = int(len(kept) * significant_percentage)
+    return tuple(t for t, _ in terms[:best])
+
+
+def luhn_rate_sentence(
+    words: list[str],
+    significant: frozenset[str] | set[str] | tuple[str, ...],
+    max_gap_size: int = LUHN_MAX_GAP_SIZE,
+) -> float:
+    """sumy ``rate_sentence``/``_get_chunk_ratings``/``_get_chunk_rating``
+    verbatim semantics: chunks open at a significant word and extend
+    until ``max_gap_size`` consecutive non-significant words; each
+    chunk is scored ``significant²/span`` after stripping trailing
+    zeros, except a single-significant-word chunk scores 0; the
+    sentence's rating is the max chunk rating (0 if no chunks)."""
+    sig = set(significant)
+    chunks: list[list[int]] = []
+    nonsig_tail = [0] * max_gap_size
+    in_chunk = False
+    for word in words:
+        w = word.lower()
+        if w in sig and not in_chunk:
+            in_chunk = True
+            chunks.append([1])
+        elif in_chunk:
+            chunks[-1].append(int(w in sig))
+        if chunks and chunks[-1][-max_gap_size:] == nonsig_tail:
+            in_chunk = False
+    best = 0.0
+    for chunk in chunks:
+        c = list(chunk)
+        while c and c[-1] == 0:
+            c.pop()
+        if not c:
             continue
-        span = sig_pos[-1] - sig_pos[0] + 1
-        scores.append(len(sig_pos) ** 2 / span)
-    return scores
+        n_sig = sum(c)
+        rating = 0.0 if n_sig == 1 else n_sig * n_sig / len(c)
+        best = max(best, rating)
+    return best
+
+
+def luhn_scores(
+    sentences: list[str],
+    stop_words: frozenset[str] = frozenset(),
+    significant_percentage: float = 1.0,
+) -> list[float]:
+    """Per-sentence sumy-Luhn ratings for a document given as a
+    sentence list (significant words computed over the whole
+    document, as sumy does). Defaults mirror ``LuhnSummarizer()``
+    exactly as the reference constructs it."""
+    per_sentence = [luhn_words(s) for s in sentences]
+    doc_words: list[str] = [w for ws in per_sentence for w in ws]
+    significant = frozenset(luhn_significant_words(doc_words, stop_words, significant_percentage))
+    return [luhn_rate_sentence(ws, significant) for ws in per_sentence]
+
+
+def luhn_summarize(text: str, sentences_count: int) -> list[str]:
+    """The reference's ``_summarize_chunk_text`` pipeline
+    (server/services/summarize.py:44-64) on sumy-Luhn scoring:
+    rate every sentence, stable-sort by rating desc (ties keep
+    document order), take N, emit in document order, whitespace
+    collapsed."""
+    sentences = [s.text for s in iter_sentences(text or "")]
+    if not sentences:
+        return []
+    scores = luhn_scores(sentences)
+    order = sorted(range(len(sentences)), key=lambda i: -scores[i])[:sentences_count]
+    return [re.sub(r"\s+", " ", sentences[i]).strip() for i in sorted(order)]
 
 
 def luhn_point_count(token_count: int) -> int:

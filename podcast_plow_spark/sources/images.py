@@ -185,34 +185,60 @@ def check_invariants(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
     """Per-row invariant job (BASELINE.json input_hint): decoded-pixel
     PSNR ≥ 40 dB for lossy (exact for raw) + caption equality vs the
     recomputed reference row. Returns (image_id, psnr_db, caption_ok,
-    phash_ok, passed). Never collects ``bytes`` to the driver."""
+    phash_ok, passed). Never collects ``bytes`` to the driver.
+
+    Vectorized on the batch kernels (:func:`psnr_batch` /
+    :func:`phash64_batch`): rows are validated structurally first
+    (known fmt, parseable id, exact payload length), then each
+    same-(w, h) group is stacked and scored with whole-batch numpy —
+    no per-row Python in the hot path. Corrupt rows (truncated blob,
+    unknown codec, mangled id) simply fail their row: one bad blob
+    must never kill a 10^10-row invariant job."""
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                # corrupted payloads mark the ROW failed — one truncated
-                # blob must never kill a 10^10-row invariant job
-                try:
-                    n = int(row.image_id.split("-")[-1])
-                    ref = _pixels_for(n, row.w, row.h)
-                    dec = decode_image(row.bytes, row.fmt, row.w, row.h)
-                    p = psnr(ref, dec)
-                    cap_ok = row.caption == _caption_for(n)
-                    ph_ok = int(row.phash) == phash64(ref)
-                    passed = bool(p >= min_psnr_db and cap_ok and ph_ok)
-                except (ValueError, NotImplementedError):
-                    p, cap_ok, ph_ok, passed = -1.0, False, False, False
-                out.append(
-                    {
-                        "image_id": row.image_id,
-                        "psnr_db": min(p, 1e6),
-                        "caption_ok": cap_ok,
-                        "phash_ok": ph_ok,
-                        "passed": passed,
-                    }
+            m = len(pdf)
+            if m == 0:
+                continue
+            w_arr = pdf["w"].to_numpy(dtype=np.int64)
+            h_arr = pdf["h"].to_numpy(dtype=np.int64)
+            ns = np.full(m, -1, dtype=np.int64)
+            for i, s in enumerate(pdf["image_id"]):
+                tail = (s or "").rsplit("-", 1)[-1]
+                if tail.isdigit():
+                    ns[i] = int(tail)
+            blen = np.fromiter(
+                (len(b) if b is not None else -1 for b in pdf["bytes"]), dtype=np.int64, count=m
+            )
+            valid = (
+                pdf["fmt"].isin(("raw", "qjpg")).to_numpy()
+                & (ns >= 0)
+                & (blen == w_arr * h_arr * 3)
+            )
+            psnr_db = np.full(m, -1.0)
+            cap_ok = np.zeros(m, dtype=bool)
+            ph_ok = np.zeros(m, dtype=bool)
+            phashes = pdf["phash"].to_numpy(dtype=np.int64)
+            captions = pdf["caption"].to_numpy(dtype=object)
+            byts = pdf["bytes"].to_numpy(dtype=object)
+            for w, h in {(int(a), int(b)) for a, b in zip(w_arr[valid], h_arr[valid])}:
+                idxs = np.nonzero(valid & (w_arr == w) & (h_arr == h))[0]
+                ref = pixels_batch(ns[idxs], w, h)
+                dec = np.stack(
+                    [np.frombuffer(byts[i], dtype=np.uint8).reshape(h, w, 3) for i in idxs]
                 )
-            yield pd.DataFrame(out)
+                psnr_db[idxs] = np.minimum(psnr_batch(ref, dec), 1e6)
+                ph_ok[idxs] = phashes[idxs] == phash64_batch(ref)
+                cap_ok[idxs] = [captions[i] == _caption_for(int(ns[i])) for i in idxs]
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "psnr_db": psnr_db,
+                    "caption_ok": cap_ok,
+                    "phash_ok": ph_ok,
+                    "passed": (psnr_db >= min_psnr_db) & cap_ok & ph_ok & valid,
+                }
+            )
 
     return images.mapInPandas(
         verify, schema="image_id string, psnr_db double, caption_ok boolean, phash_ok boolean, passed boolean"

@@ -100,13 +100,95 @@ class TestSelection:
 
 
 class TestLuhn:
-    def test_scores_favor_dense_significant_runs(self):
-        sents = [
-            "filler word then gap gap filler maybe",
-            "spark spark spark spark spark spark",
+    """sumy-Luhn exact published semantics (sumy/summarizers/luhn.py
+    re-derived; reference constructs LuhnSummarizer() with all
+    defaults). Golden outputs hand-computed from the algorithm."""
+
+    def test_default_config_every_word_significant(self):
+        # LuhnSummarizer() default: no stop words, percentage=1 →
+        # every word significant → rating = word count (0 if < 2 words)
+        scores = luhn_scores(["one two three.", "four five.", "six."])
+        assert scores == [3.0, 2.0, 0.0]
+
+    def test_gap_rule_breaks_chunks_after_four_nonsignificant(self):
+        from podcast_plow_spark.functions.summarize import luhn_rate_sentence
+
+        # chunk1: cat sat + 4 stop gap → closed (trailing zeros stripped →
+        # [1,1] = 4/2 = 2.0); chunk2: mat dog = 2.0
+        words = "the cat sat of the and to the mat dog".split()
+        sig = {"cat", "sat", "mat", "dog"}
+        assert luhn_rate_sentence(words, sig) == 2.0
+        # gap of 2 keeps one chunk: [1,0,0,1] → 2²/4 = 1.0
+        assert luhn_rate_sentence("cat of and sat".split(), {"cat", "sat"}) == 1.0
+        # exactly max_gap_size nonsig INSIDE a chunk still breaks it
+        words2 = "cat a b c d sat".split()
+        assert luhn_rate_sentence(words2, {"cat", "sat"}) == 0.0  # two 1-sig chunks → 0
+
+    def test_single_significant_word_rates_zero(self):
+        from podcast_plow_spark.functions.summarize import luhn_rate_sentence
+
+        assert luhn_rate_sentence("cat of the".split(), {"cat"}) == 0.0
+
+    def test_significant_percentage_truncates_by_frequency(self):
+        from podcast_plow_spark.functions.summarize import luhn_significant_words
+
+        terms = luhn_significant_words(
+            ["b", "b", "b", "a", "a", "c", "d"], significant_percentage=0.3
+        )
+        assert terms == ("b", "a")  # int(7·0.3)=2 most frequent, stable ties
+
+    def test_selection_stable_document_order(self):
+        from podcast_plow_spark.functions.summarize import luhn_summarize
+
+        text = "Alpha beta gamma delta. Hi there. One two three four five."
+        # ratings: 4, 2, 5 → top-2 = sentences 0 and 2, document order
+        assert luhn_summarize(text, 2) == [
+            "Alpha beta gamma delta.",
+            "One two three four five.",
         ]
-        scores = luhn_scores(sents)
-        assert scores[1] > scores[0]
+        # ties keep document order: first of equal ratings wins
+        tie = "One two three. Four five six. Seven eight nine ten."
+        assert luhn_summarize(tie, 2) == ["One two three.", "Seven eight nine ten."]
+
+    def test_golden_corpus(self):
+        from podcast_plow_spark.functions.summarize import luhn_scores
+
+        # stop-word config exercises the real clustering; values
+        # hand-computed from sumy's chunk algebra
+        stops = frozenset({"the", "a", "of", "and", "to"})
+        sents = [
+            "the cat sat of the and to the mat dog.",  # chunks [cat,sat],[mat,dog] → 2.0
+            "cat of and sat.",                          # [1,0,0,1] → 1.0
+            "cat of the.",                              # single sig → 0.0
+            "the of and to.",                           # no sig → 0.0
+        ]
+        assert luhn_scores(sents, stop_words=stops) == [2.0, 1.0, 0.0, 0.0]
+
+    def test_spark_query_matches_python_kernel(self, spark):
+        """The pure-Column luhn_summary query computes the SAME ratings
+        as luhn_rate_sentence on 12-token windows with the query's
+        stop-word list."""
+        import __spark_entry__ as m
+        from podcast_plow_spark.functions.summarize import luhn_rate_sentence
+
+        import re as _re
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+        tmpdir = "/tmp/luhn_parity_docs"
+        docs.write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+        got = {
+            (r["doc_id"], r["sent_idx"]): r["rating"]
+            for r in m.q_luhn_summary(spark, tmpdir).collect()
+        }
+        stops = set(m._LUHN_STOPS)
+        for row in docs.collect():
+            toks = _re.findall(r"[a-z]+", (row["text"] or "").lower())
+            for si in range(0, (len(toks) + 11) // 12):
+                words = toks[si * 12 : si * 12 + 12]
+                expected = round(luhn_rate_sentence(words, set(w for w in words if w not in stops)), 4)
+                key = (row["doc_id"], si)
+                if key in got:  # only top-N sentences are emitted
+                    assert abs(got[key] - expected) < 1e-9, (key, got[key], expected)
 
     def test_point_count_clamp(self):
         assert luhn_point_count(100) == 3
