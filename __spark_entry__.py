@@ -632,11 +632,60 @@ WHERE ROUND(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 4) >= 0.5
 
 
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path) — probabilistic recall, rows-only
-    check; recall floor asserted in tests/test_similarity.py."""
+    """LSH-bucketed ANN (scale path) — now ORACLE-checked: the seeded
+    hyperplane matrix is enumerated INLINE into the generated DuckDB
+    SQL, so banding (sign-bit buckets), the bucket equi-join, and the
+    exact cosine rerank are replayed verbatim on the oracle side.
+    Recall-vs-bruteforce floor additionally asserted in
+    tests/test_similarity.py."""
     from podcast_plow_spark.operators.similarity import lsh_cosine_topk_pairs
 
     return lsh_cosine_topk_pairs(spark, _t(spark, sf_dir, "embeddings"), k=50)
+
+
+def _lsh_cosine_oracle_sql(k: int = 50, n_planes: int = 16, n_bands: int = 4, seed: int = 42, dim: int = 64) -> str:
+    """DuckDB mirror of lsh_cosine_topk_pairs: the same seeded-numpy
+    hyperplanes (full-precision literals), same band/bucket bit packing
+    (bit r of band b = sign of plane b·rpb+r), same candidate join and
+    4-dp rounded cosine rerank with id tiebreaks."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    rows_per_band = n_planes // n_bands
+
+    def plane_lit(i: int) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]"
+
+    def bucket_expr(b: int) -> str:
+        terms = [
+            f"(CASE WHEN list_dot_product(e, {plane_lit(b * rows_per_band + r)}) >= 0 "
+            f"THEN {1 << r} ELSE 0 END)"
+            for r in range(rows_per_band)
+        ]
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band, {bucket_expr(b)} AS bucket FROM e0"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.a_id, c.b_id,
+       ROUND(list_cosine_similarity(ea.e, eb.e), 4) AS cos_sim
+FROM cand c JOIN e0 ea ON ea.vec_id = c.a_id JOIN e0 eb ON eb.vec_id = c.b_id
+ORDER BY cos_sim DESC, a_id ASC, b_id ASC
+LIMIT {k}
+"""
 
 
 # ----------------------------------------------------------------------
@@ -1269,8 +1318,8 @@ ORDER BY revenue DESC, n_name ASC
 def q_stance_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X14/X15 heuristic stance classifier (reference
     server/services/evidence.py:568-606) — regex-fixpoint kernel, not
-    SQL-expressible → rows-only check; semantics frozen in
-    tests/test_evidence_and_summary.py."""
+    SQL-expressible; oracle = sequential-python golden parquet;
+    semantics frozen in tests/test_evidence_and_summary.py."""
     from podcast_plow_spark.functions.evidence import classify_stance_udf
 
     ev = _t(spark, sf_dir, "events")
@@ -1285,7 +1334,8 @@ def q_stance_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_summarize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/K5/X23 extractive summary pipeline (reference
-    server/ingest/summaries.py) — per-document python kernel → rows-only."""
+    server/ingest/summaries.py) — per-document python kernel; oracle =
+    sequential-python golden parquet (scripts/gen_golden.py)."""
     from podcast_plow_spark.functions.summarize import summarize_documents
 
     return summarize_documents(_t(spark, sf_dir, "documents"), max_words=40, max_sentences=3)
@@ -1411,6 +1461,16 @@ FROM ranked WHERE rk <= np
 """
 
 
+def _golden_oracle_sql(name: str) -> str:
+    """Oracle = the committed golden parquet for this query
+    (tests/golden/, produced by scripts/gen_golden.py via a sequential
+    pure-python pass over the pinned sf0.01 tables)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "golden", f"{name}_sf001.parquet")
+    return f"SELECT * FROM read_parquet('{path}')"
+
+
 def q_pubtype_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X16 publication-type mapping as a codegen'd when-chain
     (reference server/services/evidence.py:542-552)."""
@@ -1495,7 +1555,8 @@ def _synthetic_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extract_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full claim pipeline (reference worker/claim_extraction.py:336-371)
-    — per-transcript python kernel → rows-only; semantics frozen in
+    — per-transcript python kernel; oracle = sequential-python golden
+    parquet (scripts/gen_golden.py); semantics frozen in
     tests/test_html_segments_queries.py."""
     from podcast_plow_spark.operators.segments import extract_claims_df
 
@@ -1504,7 +1565,8 @@ def q_extract_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_segment_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 segment builder (reference worker/claim_extraction.py:201-265)
-    — rows-only; duration invariants frozen in tests."""
+    — oracle = sequential-python golden parquet; duration invariants
+    frozen in tests."""
     import pandas as pd
 
     from podcast_plow_spark.functions.summarize import iter_sentences
@@ -1639,8 +1701,17 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_volume": _SQL_LOCAL_SUPPLIER,
         "minhash_lsh_dedup": _minhash_lsh_oracle_sql(),
         "luhn_summary": _SQL_LUHN_SUMMARY,
-        # Rows-only (non-SQL-expressible) entries: lsh_cosine_topk
-        # (seeded-numpy hyperplanes), stance_classify (regex
-        # lookbehind loops), summarize_docs (per-doc python pipeline).
-        # Each is invariant-tested in tests/ instead.
+        "lsh_cosine_topk": _lsh_cosine_oracle_sql(),
+        # Golden-parquet oracles for the per-row python pipelines
+        # (regex-fixpoint stance, stateful segment/claim accumulators,
+        # greedy summary): the goldens are produced by a SEQUENTIAL
+        # pure-python pass over the pinned sf0.01 tables
+        # (scripts/gen_golden.py) — an independent execution path that
+        # pins the distributed run (partitioning, Arrow batching,
+        # ordering) to the sequential reference. Kernel semantics are
+        # separately frozen against the reference by the unit suites.
+        "segment_transcripts": _golden_oracle_sql("segment_transcripts"),
+        "extract_claims": _golden_oracle_sql("extract_claims"),
+        "summarize_docs": _golden_oracle_sql("summarize_docs"),
+        "stance_classify": _golden_oracle_sql("stance_classify"),
     }

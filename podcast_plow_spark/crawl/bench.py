@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import SparkSession, Window
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from podcast_plow_spark.functions.urls import canonicalize_url_udf
@@ -70,14 +70,18 @@ def _decode_psnr_stage(batch):
     from podcast_plow_spark.sources.images import phash64_batch, pixels_batch, psnr_batch
 
     # 32×24 px, multi-quality roundtrip: the per-URL CPU budget
-    # (~0.1-0.2 ms — decode + multi-level quantize + PSNR + phash)
-    # approximates real fetch-side processing while the ~2 KB working
-    # set stays cache-resident. (A 96×72 variant was measured
+    # (~0.1 ms — decode + 12-level quantize ladder + PSNR + phash per
+    # level) approximates real fetch-side processing while the ~2 KB
+    # working set stays cache-resident. Real image decodes (jpeg/webp
+    # at web sizes) cost 2-10 ms/image before any variant/thumbnail/
+    # multi-hash work — this stand-in still UNDERWEIGHTS per-URL CPU
+    # by >20×, so the orchestration share measured here is an upper
+    # bound on production's. (A 96×72 variant was measured
     # memory-bandwidth-bound on this single box: every parallelism
     # level saturated the one bus and throughput went flat — real
     # clusters scale by nodes, each with its own bus.)
     W, H, CHUNK = 32, 24, 512
-    QUALITY = (2, 4, 8, 16)
+    QUALITY = (2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32)
 
     def stage(batches):
         id_re = re.compile(r"img-(\d+)")
@@ -142,27 +146,32 @@ def frontier_throughput(
     bloom = build_bloom(seen, expected_items=n_urls)
 
     def run_epoch(salt: int) -> tuple[int, int]:
-        # dequeue with politeness cap (sampled-threshold top-K: the
-        # large-K path; TakeOrdered would merge partitions×K on the driver)
-        runnable = frontier.where(F.col("status") == fr.STATUS_QUEUED)
-        w_host = Window.partitionBy("host").orderBy(
-            F.col("priority").desc(), F.col("run_at").asc(), F.col("seq").asc()
+        # politeness-capped dequeue via the sampled global-order
+        # PREFIX (dequeue_batch_polite): the per-host window ranks only
+        # the ~k·safety-row prefix, never the full frontier — round 1
+        # windowed all N rows here, a memory-bandwidth-flat stage that
+        # capped single-box scaling
+        batch = fr.dequeue_batch_polite(
+            frontier,
+            k,
+            now=dt.datetime(2024, 1, 1),
+            per_host_cap=1000,
+            n_hint=n_urls,
+            safety=1.3,
+            with_rank=False,
         )
-        # cache: the scalable dequeue runs several actions (count,
-        # threshold sample, verify) — without a cache each one would
-        # recompute the politeness window over the full frontier
-        eligible = runnable.withColumn("__hr", F.row_number().over(w_host)).where(
-            F.col("__hr") <= 1000
-        ).drop("__hr").cache()
-        batch = fr.dequeue_batch_scalable(eligible, k, now=dt.datetime(2024, 1, 1), with_rank=False)
-        batch = schedule_fetches(batch, crawl_delay_sec=0.01, rank_col="seq")
+        # narrow to the columns the schedule + decode actually use —
+        # the two downstream shuffles then move 3 short columns, not
+        # full frontier rows
+        batch = schedule_fetches(
+            batch.select("url_canon", "host", "seq"), crawl_delay_sec=0.01, rank_col="seq"
+        )
         # fetch+process: decode payload, verify PSNR invariant, phash —
         # the per-URL CPU an image crawl actually spends. Explicit
         # repartition: AQE would coalesce the ~50MB shuffle to a couple
         # of partitions and serialize this embarrassingly-parallel stage.
         processed = _decode_psnr_stage(batch.repartition(partitions))
         n_batch = processed.where(F.col("invariant_ok")).count()
-        eligible.unpersist()
         assert n_batch == k, f"invariant failed for {k - n_batch} rows"
 
         # seen-filter fresh candidates against the frontier

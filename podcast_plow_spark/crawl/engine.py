@@ -74,6 +74,10 @@ class CrawlConfig:
     #: (reference dequeue_job's ``run_at <= now()``), so rows requeued
     #: with a backoff delay by mark_failed are NOT dequeued early.
     clock: Callable[[], dt.datetime] | None = None
+    #: fold merge-on-read deltas into the bucket files once they reach
+    #: this many rows (amortized compaction; keeps the read overlay
+    #: broadcast-sized)
+    delta_compact_rows: int = 100_000
 
 
 class CrawlEngine:
@@ -156,7 +160,7 @@ class CrawlEngine:
         self.store.append_table(
             "fetched_images", self.spark.createDataFrame([], "image_id string, url_canon string, epoch long")
         )
-        self.store.commit(0, {"epoch": 0, "next_seq": n + 1})
+        self.store.commit(0, {"epoch": 0, "next_seq": n + 1, "n_queued": n})
 
     # -- one epoch ---------------------------------------------------------
 
@@ -175,32 +179,30 @@ class CrawlEngine:
         # prefix — the store-read frontier sees filter+scan, no
         # Exchange (tests/test_plans.py).
         now = (self.cfg.clock or dt.datetime.utcnow)()
+        n_queued = meta.get("n_queued")
         batch = fr.dequeue_batch_polite(
-            frontier, self.cfg.batch_size, now, self.cfg.per_host_cap
+            frontier,
+            self.cfg.batch_size,
+            now,
+            self.cfg.per_host_cap,
+            # exact queued-count tracked across epochs replaces the
+            # sizing count() — one less full-frontier scan per epoch
+            n_hint=int(n_queued) if n_queued is not None else None,
         ).cache()
-        if batch.count() == 0:
+        n_batch = batch.count()
+        if n_batch == 0:
             return False
 
         # shared kernel (functions/urls.py) — same path-based semantics
         # as the oracle's url_kind, so feed.xml?page=2 etc. cannot drift
-        batch = batch.withColumn("kind", url_kind_col(F.col("url_canon")))
+        batch = batch.withColumn("kind", url_kind_col(F.col("url_canon"))).cache()
+        n_feeds = batch.where(F.col("kind") == "feed").count()  # on the cached batch
 
         # --- crawl log (the observable crawl ordering): append-only
         log_new = batch.select(
             F.lit(epoch).cast("long").alias("epoch"), "crawl_rank", "url_canon", "host", "kind"
         )
         self.store.append_table("crawl_log", log_new)
-
-        # --- fetch: feeds → entries
-        feed_batch = batch.where(F.col("kind") == "feed").select(F.col("url_canon").alias("url"), "seq")
-        entries = fetch_and_parse_feeds(feed_batch, self.fixtures_root).where(
-            F.col("parse_error").isNull() & F.col("enclosure_url").isNotNull()
-        )
-        parent = batch.select(F.col("url_canon").alias("feed_url"), F.col("seq").alias("parent_seq"))
-        cand_raw = entries.join(parent, "feed_url").select(
-            F.col("enclosure_url").alias("url"),
-            (F.col("parent_seq") * F.lit(1_000_000) + F.col("entry_pos")).alias("seq_key"),
-        )
 
         # --- fetch: images → payload rows
         img_batch = batch.where(F.col("kind") == "image").select(
@@ -211,52 +213,75 @@ class CrawlEngine:
         fetched_new = img_batch.select("image_id", "url_canon", F.lit(epoch).cast("long").alias("epoch"))
         self.store.append_table("fetched_images", fetched_new)
 
-        # --- candidate projection + seen filter
-        cand = self._project_candidates(cand_raw)
-        seen = frontier.select("url_canon")
-        bloom = None
-        if self.cfg.use_bloom:
-            if self._bloom is None:
-                self._bloom = build_bloom(
-                    seen,
-                    "url_canon",
-                    expected_items=self._bloom_capacity,
-                    bits_per_item=self.cfg.bloom_bits_per_item,
-                )
-            bloom = self._bloom
-        unseen, stats = seen_filter_exact(cand, seen, bloom, "url_canon", measure_fpr=self.cfg.use_bloom)
+        # --- discoveries. Image rows have no children, so a batch with
+        # zero feed rows skips the entire candidate machinery (feed
+        # parse, robots gate, seen filter, enqueue) — several Spark
+        # jobs saved on every image-only epoch, identical semantics.
+        new_rows = None
+        n_new = 0
+        stats = None
+        if n_feeds:
+            feed_batch = batch.where(F.col("kind") == "feed").select(
+                F.col("url_canon").alias("url"), "seq"
+            )
+            entries = fetch_and_parse_feeds(feed_batch, self.fixtures_root).where(
+                F.col("parse_error").isNull() & F.col("enclosure_url").isNotNull()
+            )
+            parent = batch.select(F.col("url_canon").alias("feed_url"), F.col("seq").alias("parent_seq"))
+            cand_raw = entries.join(parent, "feed_url").select(
+                F.col("enclosure_url").alias("url"),
+                (F.col("parent_seq") * F.lit(1_000_000) + F.col("entry_pos")).alias("seq_key"),
+            )
 
-        # --- enqueue (deterministic seq continues from next_seq)
-        new_rows = fr.enqueue(
-            unseen,
-            epoch=epoch,
-            max_attempts=self.cfg.max_attempts,
-            num_partitions=self.cfg.num_partitions,
-            seq_base=next_seq - 1,
-        ).cache()
-        n_new = new_rows.count()
-        if self.cfg.use_bloom and n_new:
-            # incremental maintenance: OR in only this epoch's insertions
-            delta = build_bloom(new_rows.select("url_canon"), "url_canon", like=self._bloom)
-            self._bloom = self._bloom.merge(delta)
+            # --- candidate projection + seen filter
+            cand = self._project_candidates(cand_raw)
+            seen = frontier.select("url_canon")
+            bloom = None
+            if self.cfg.use_bloom:
+                if self._bloom is None:
+                    self._bloom = build_bloom(
+                        seen,
+                        "url_canon",
+                        expected_items=self._bloom_capacity,
+                        bits_per_item=self.cfg.bloom_bits_per_item,
+                    )
+                bloom = self._bloom
+            unseen, stats = seen_filter_exact(cand, seen, bloom, "url_canon", measure_fpr=self.cfg.use_bloom)
 
-        # --- mark batch done + insert discoveries, rewriting ONLY the
-        # buckets this epoch touched (bucket-pruned MERGE; the other
-        # buckets carry forward as manifest pointers, zero I/O —
-        # SCALE_DESIGN.md "bucket-local MERGE", now real)
-        touched = sorted(
-            {int(r[0]) for r in batch.select("host_hash").distinct().collect()}
-            | {int(r[0]) for r in new_rows.select("host_hash").distinct().collect()}
+            # --- enqueue (deterministic seq continues from next_seq)
+            new_rows = fr.enqueue(
+                unseen,
+                epoch=epoch,
+                max_attempts=self.cfg.max_attempts,
+                num_partitions=self.cfg.num_partitions,
+                seq_base=next_seq - 1,
+            ).cache()
+            n_new = new_rows.count()
+            if self.cfg.use_bloom and n_new:
+                # incremental maintenance: OR in only this epoch's insertions
+                delta = build_bloom(new_rows.select("url_canon"), "url_canon", like=self._bloom)
+                self._bloom = self._bloom.merge(delta)
+
+        # --- mark batch done + insert discoveries as ONE merge-on-read
+        # delta (the batch rows themselves, re-stated as finished, plus
+        # the new rows — no join needed). Politeness spreads a batch
+        # over many hosts, so a copy-on-write bucket merge would
+        # degenerate to a near-full rewrite every epoch; the delta
+        # keeps the epoch's write cost O(batch). When accumulated
+        # deltas pass the threshold they're folded into the bucket
+        # files once (amortized, bucket-pruned compaction).
+        finished_batch = (
+            batch.withColumn("status", F.lit(fr.STATUS_FINISHED))
+            .withColumn("error", F.lit(None).cast("string"))
+            .select([f.name for f in fr.FRONTIER_SCHEMA.fields])
         )
-        old_touched = self.store.read_table(self.spark, "frontier", bucket_ids=touched)
-        if old_touched is None:
-            updated_touched = new_rows
-        else:
-            updated_touched = fr.mark_done(old_touched, batch.select("seq")).unionByName(new_rows)
-        self.store.merge_buckets("frontier", updated_touched)
+        delta_rows = finished_batch if new_rows is None else finished_batch.unionByName(new_rows)
+        self.store.merge_delta("frontier", delta_rows, approx_rows=n_batch + n_new)
+        if self.store.delta_rows(self.spark, "frontier") >= self.cfg.delta_compact_rows:
+            self.store.compact_deltas("frontier")
 
         # --- lineage
-        urls_in = batch.count()
+        urls_in = n_batch
         fpr_rows = stats.collect() if stats is not None else []
         if fpr_rows:
             lineage_new = self.spark.createDataFrame(
@@ -279,9 +304,13 @@ class CrawlEngine:
             )
         self.store.append_table("lineage", lineage_new)
 
-        self.store.commit(epoch, {"epoch": epoch, "next_seq": next_seq + n_new})
+        meta_out = {"epoch": epoch, "next_seq": next_seq + n_new}
+        if n_queued is not None:
+            meta_out["n_queued"] = max(0, int(n_queued) - n_batch + n_new)
+        self.store.commit(epoch, meta_out)
         batch.unpersist()
-        new_rows.unpersist()
+        if new_rows is not None:
+            new_rows.unpersist()
         return True
 
     # -- full run ------------------------------------------------------------

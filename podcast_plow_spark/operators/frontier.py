@@ -262,6 +262,7 @@ def dequeue_batch_polite(
     small_n_cutoff: int | None = None,
     max_widen: int = 3,
     with_rank: bool = True,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Politeness-capped top-K dequeue — the epoch-loop primitive.
 
@@ -289,6 +290,16 @@ def dequeue_batch_polite(
     the threshold widens geometrically up to ``max_widen`` times, then
     falls back to the exact path. Result is EXACTLY equal to the
     greedy oracle (tested in tests/test_frontier_queue.py).
+
+    ``n_hint``: the caller's estimate of the runnable count (the
+    engine tracks queue size exactly across epochs), replacing the
+    sizing ``count()`` — one less full-frontier scan per epoch.
+    Correctness never depends on the hint: it only picks the sampling
+    fraction and code path; an undershot prefix still widens/falls
+    back exactly. Per epoch this function then runs exactly TWO
+    frontier-scanning jobs in the common case: the threshold sample
+    and the prefix batch take (the sufficiency check |top-k| == k is
+    read off the taken batch itself, not a separate count).
     """
     df = runnable(frontier, now)
     w_host = Window.partitionBy("host").orderBy(*DEQUEUE_ORDER())
@@ -306,13 +317,15 @@ def dequeue_batch_polite(
             batch = batch.withColumn("crawl_rank", F.row_number().over(w).cast("long"))
         return batch
 
-    n = df.count()
+    n = n_hint if n_hint is not None else df.count()
     cutoff = small_n_cutoff if small_n_cutoff is not None else max(k * 4, 100_000)
     if n <= cutoff:
         return finish(eligible_of(df).orderBy(*DEQUEUE_ORDER()).limit(k))
 
     sample = (
-        df.select("priority", "run_at", "seq").sample(False, min(1.0, sample_rows / n), seed=42).collect()
+        df.select("priority", "run_at", "seq")
+        .sample(False, min(1.0, sample_rows / max(n, 1)), seed=42)
+        .collect()
     )
     if not sample:
         return finish(eligible_of(df).orderBy(*DEQUEUE_ORDER()).limit(k))
@@ -329,11 +342,12 @@ def dequeue_batch_polite(
             | ((F.col("priority") == tp) & (F.col("run_at") < F.lit(tr)))
             | ((F.col("priority") == tp) & (F.col("run_at") == F.lit(tr)) & (F.col("seq") <= ts))
         )
-        eligible = eligible_of(prefix)
-        # the prefix is ~k·safety rows — recomputing it for the final
-        # take is cheaper than managing cache lifetime across the return
-        if eligible.count() >= k:
-            return finish(eligible.orderBy(*DEQUEUE_ORDER()).limit(k))
+        # one job: take top-k of the prefix's eligible rows; it came
+        # back full ⟺ |eligible ∩ prefix| ≥ k ⟺ the take is exact
+        batch = eligible_of(prefix).orderBy(*DEQUEUE_ORDER()).limit(k).cache()
+        if batch.count() >= k:
+            return finish(batch)
+        batch.unpersist()
         if cut_idx >= len(sample) - 1:
             break
         frac *= 4.0

@@ -13,14 +13,22 @@ implements the Iceberg properties the crawl engine relies on
 2. **Resume from any snapshot** — ``load(epoch=k)`` reads the manifest
    for snapshot k; the engine continues from there.
 3. **Bucketed tables + bucket-pruned MERGE** — the Iceberg
-   ``PARTITIONED BY (bucket(N, host))`` + ``MERGE INTO`` analog: a
-   bucketed table's manifest maps bucket-id → data path, and
+   ``PARTITIONED BY (bucket(N, host))`` + copy-on-write ``MERGE INTO``
+   analog: a bucketed table's manifest maps bucket-id → data path, and
    :meth:`merge_buckets` rewrites ONLY the buckets an epoch touched;
    untouched buckets are carried forward as manifest pointers to their
-   existing (immutable) files. At the 10^10-frontier design point this
-   is the difference between rewriting ~3 TB per epoch and rewriting
-   ~(batch hosts / total hosts) of it.
-4. **Append tables** — the Iceberg fast-append analog for the
+   existing (immutable) files.
+4. **Merge-on-read deltas** — the Iceberg MoR analog, and the piece
+   that makes epoch cost O(batch) instead of O(frontier): politeness
+   spreads a crawl batch across MANY hosts, so per-epoch updates hit
+   most buckets and copy-on-write degenerates to a full rewrite. With
+   :meth:`merge_delta`, an epoch's upserts land in ONE small delta
+   part; :meth:`read_table` overlays it (broadcast anti-join on the
+   key + union — the delta is bounded by the compaction threshold, so
+   the overlay is always broadcast-sized); :meth:`compact_deltas`
+   folds accumulated deltas into the buckets when they grow past the
+   threshold — an amortized, bucket-pruned rewrite.
+5. **Append tables** — the Iceberg fast-append analog for the
    append-only side tables (crawl_log, lineage, fetched_images): each
    epoch adds one new data file; the manifest accumulates the part
    list. No read-modify-write of history, ever.
@@ -129,6 +137,72 @@ class SnapshotStore:
         self._staged[name] = {"kind": "bucketed", "bucket_col": bucket_col, "buckets": merged}
         return sorted(int(k) for k in new_buckets)
 
+    def merge_delta(self, name: str, updates: DataFrame, key_col: str = "seq", approx_rows: int | None = None) -> None:
+        """Merge-on-read upsert for a bucketed table: stage ``updates``
+        (full rows, latest version wins by ``key_col``) as the table's
+        single delta part. An existing delta is folded in first
+        (new keys override old delta rows), so the table always carries
+        at most ONE delta part whose size is bounded by updates since
+        the last compaction — which keeps the read-side overlay
+        broadcastable. Write cost per epoch: O(accumulated delta), not
+        O(table)."""
+        entry = self._current_entry(name)
+        assert isinstance(entry, dict) and entry.get("kind") == "bucketed", f"{name} is not bucketed"
+        spark = updates.sparkSession
+        deltas = entry.get("deltas", [])
+        if deltas:
+            old = spark.read.parquet(*[os.path.join(self.root, p) for p in deltas])
+            keys = updates.select(key_col)
+            updates = old.join(F.broadcast(keys), key_col, "left_anti").unionByName(updates)
+        rel = self._new_version_rel(name)
+        updates.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        staged = dict(entry)
+        staged["deltas"] = [rel]
+        staged["delta_key"] = key_col
+        if approx_rows is not None:
+            # caller-supplied upper bound on this merge's new rows —
+            # the manifest carries a running estimate so compaction
+            # policy never needs a count() job
+            staged["delta_est"] = int(entry.get("delta_est", 0)) + int(approx_rows)
+        else:
+            staged.pop("delta_est", None)
+        self._staged[name] = staged
+
+    def delta_rows(self, spark: SparkSession, name: str) -> int:
+        """Pending-delta size (0 if none): the manifest's running
+        estimate when the caller supplied one (upper bound — upserts of
+        already-deltaed keys count twice, which only compacts EARLIER),
+        else an exact count job."""
+        entry = self._current_entry(name)
+        if not isinstance(entry, dict) or not entry.get("deltas"):
+            return 0
+        if "delta_est" in entry:
+            return int(entry["delta_est"])
+        paths = [os.path.join(self.root, p) for p in entry["deltas"]]
+        return spark.read.parquet(*paths).count()
+
+    def compact_deltas(self, name: str) -> list[int]:
+        """Fold the delta overlay into the bucket files (amortized,
+        bucket-pruned rewrite) and clear the delta list. Returns the
+        rewritten bucket ids."""
+        entry = self._current_entry(name)
+        assert isinstance(entry, dict) and entry.get("kind") == "bucketed"
+        if not entry.get("deltas"):
+            return []
+        # read WITH overlay, restricted to the buckets the delta touches
+        spark = SparkSession.getActiveSession()
+        assert spark is not None
+        bucket_col = entry["bucket_col"]
+        delta = spark.read.parquet(*[os.path.join(self.root, p) for p in entry["deltas"]])
+        touched = sorted(int(r[0]) for r in delta.select(bucket_col).distinct().collect())
+        merged = self.read_table(spark, name, bucket_ids=touched)
+        rewritten = self.merge_buckets(name, merged, bucket_col)
+        staged = dict(self._staged[name])
+        staged["deltas"] = []
+        staged.pop("delta_est", None)
+        self._staged[name] = staged
+        return rewritten
+
     def append_table(self, name: str, delta: DataFrame) -> None:
         """Stage an append: one new data file list entry; history is
         never re-read or re-written (Iceberg fast-append analog)."""
@@ -232,15 +306,30 @@ class SnapshotStore:
     ) -> DataFrame | None:
         """Read a table (any kind) at the latest — or a pinned — epoch.
         For bucketed tables ``bucket_ids`` prunes the read to just
-        those buckets' files (manifest-level partition pruning: the
-        other buckets' files are never opened)."""
+        those buckets' files (manifest-level partition pruning), and a
+        pending merge-on-read delta is overlaid: base rows whose key
+        appears in the delta are replaced (broadcast anti-join — the
+        delta is compaction-bounded), delta rows are unioned in."""
         entry = self.table_entry(name, epoch)
         if entry is None:
             return None
         paths = self._entry_paths(entry, bucket_ids)
-        if not paths:
+        deltas = entry.get("deltas", []) if isinstance(entry, dict) else []
+        if not paths and not deltas:
             return None
-        return spark.read.parquet(*paths)
+        delta_df = None
+        if deltas:
+            delta_df = spark.read.parquet(*[os.path.join(self.root, p) for p in deltas])
+            if bucket_ids is not None:
+                delta_df = delta_df.where(F.col(entry["bucket_col"]).isin([int(b) for b in bucket_ids]))
+        if not paths:
+            return delta_df
+        base = spark.read.parquet(*paths)
+        if delta_df is None:
+            return base
+        key_col = entry.get("delta_key", "seq")
+        overlaid = base.join(F.broadcast(delta_df.select(key_col)), key_col, "left_anti")
+        return overlaid.unionByName(delta_df)
 
     def expire_snapshots(self, keep_last: int = 3) -> None:
         """GC data versions unreachable from the last ``keep_last``
@@ -263,6 +352,8 @@ class SnapshotStore:
                         add_rel(entry)
                     elif entry.get("kind") == "bucketed":
                         for rel in entry["buckets"].values():
+                            add_rel(rel)
+                        for rel in entry.get("deltas", []):
                             add_rel(rel)
                     elif entry.get("kind") == "append":
                         for rel in entry["parts"]:

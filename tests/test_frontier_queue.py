@@ -216,3 +216,20 @@ class TestDequeueBatchPolite:
         cand = _candidates(spark, [("u1", "u1", "a.com", "f1", 0, 1), ("u2", "u2", "b.com", "f2", 0, 2)])
         frontier = fr.enqueue(cand, epoch=0, run_at=NOW + dt.timedelta(hours=1))
         assert fr.dequeue_batch_polite(frontier, 10, NOW, 2).count() == 0
+
+
+    def test_wrong_n_hint_still_exact(self, spark):
+        # the hint only picks sampling fraction / code path — a wildly
+        # wrong estimate must never change the dequeued batch
+        frontier = self._frontier(spark, n=3000).cache()
+        rows = frontier.select("host", "priority", "run_at", "seq").collect()
+        try:
+            expected = _greedy_oracle(rows, 80, 2)
+            for hint in (50, 3000, 10_000_000):
+                batch = fr.dequeue_batch_polite(
+                    frontier, 80, NOW, 2, sample_rows=500, small_n_cutoff=100, n_hint=hint
+                )
+                got = [r["seq"] for r in batch.orderBy("crawl_rank").collect()]
+                assert got == expected, hint
+        finally:
+            frontier.unpersist()

@@ -138,39 +138,121 @@ class TestExpire:
         assert store.read_table(spark, "t").collect()[0]["v"] == 3
 
 
-def test_engine_epoch_touches_only_batch_and_discovery_buckets(spark, tmp_path_factory):
-    """THE bucket-pruned MERGE guarantee at engine level: after an
-    epoch, the only frontier buckets whose manifest pointers moved are
-    those of (a) hosts in the dequeued batch, (b) hosts of newly
-    discovered URLs. Everything else is pointer-carried (zero I/O)."""
+class TestMergeOnRead:
+    def test_overlay_replaces_and_inserts(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path))
+        store.write_bucketed("frontier", _frontier_like(spark, range(8)))
+        store.commit(0)
+        upd = spark.createDataFrame(
+            [(1, 1, "u1", "finished"), (100, 2, "u100", "queued")],
+            "seq long, host_hash int, url_canon string, status string",
+        )
+        store.merge_delta("frontier", upd)
+        store.commit(1)
+        back = store.read_table(spark, "frontier")
+        assert back.count() == 9  # 8 base, 1 replaced, 1 inserted
+        assert back.where(F.col("seq") == 1).collect()[0]["status"] == "finished"
+        # bucket pointers did NOT move — epoch write cost is O(delta)
+        assert store.table_entry("frontier")["buckets"] == {
+            k: v for k, v in store.table_entry("frontier", epoch=0)["buckets"].items()
+        }
+
+    def test_repeated_updates_latest_wins_single_delta_part(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path))
+        store.write_bucketed("frontier", _frontier_like(spark, range(8)))
+        store.commit(0)
+        for e, status in ((1, "running"), (2, "finished")):
+            upd = spark.createDataFrame(
+                [(3, 3, "u3", status)], "seq long, host_hash int, url_canon string, status string"
+            )
+            store.merge_delta("frontier", upd)
+            store.commit(e)
+        entry = store.table_entry("frontier")
+        assert len(entry["deltas"]) == 1  # folded, never a growing chain
+        back = store.read_table(spark, "frontier")
+        assert back.where(F.col("seq") == 3).collect()[0]["status"] == "finished"
+        assert back.count() == 8
+
+    def test_compaction_folds_then_clears(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path))
+        store.write_bucketed("frontier", _frontier_like(spark, range(8)))
+        store.commit(0)
+        upd = spark.createDataFrame(
+            [(1, 1, "u1", "finished"), (200, 9, "u200", "queued")],
+            "seq long, host_hash int, url_canon string, status string",
+        )
+        store.merge_delta("frontier", upd)
+        store.commit(1)
+        pre = sorted(tuple(r) for r in store.read_table(spark, "frontier").collect())
+        rewritten = store.compact_deltas("frontier")
+        store.commit(2)
+        assert sorted(rewritten) == [1, 9]  # only delta-touched buckets
+        entry = store.table_entry("frontier")
+        assert entry["deltas"] == []
+        post = sorted(tuple(r) for r in store.read_table(spark, "frontier").collect())
+        assert post == pre  # compaction is a pure layout change
+
+    def test_bucket_pruned_read_applies_overlay(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path))
+        store.write_bucketed("frontier", _frontier_like(spark, range(8)))
+        store.commit(0)
+        upd = spark.createDataFrame(
+            [(1, 1, "u1", "finished")], "seq long, host_hash int, url_canon string, status string"
+        )
+        store.merge_delta("frontier", upd)
+        store.commit(1)
+        sub = store.read_table(spark, "frontier", bucket_ids=[1])
+        rows = {r["seq"]: r["status"] for r in sub.collect()}
+        assert rows[1] == "finished" and len(rows) == 2  # seqs 1, 5
+
+
+def test_engine_epoch_is_delta_only_then_compaction_prunes(spark, tmp_path_factory):
+    """Engine persistence contract at scale: a normal epoch moves NO
+    bucket pointers (merge-on-read delta only — O(batch) write); with
+    compaction forced every epoch, the rewrite touches only buckets of
+    batch/discovery hosts."""
     from podcast_plow_spark.crawl.engine import CrawlConfig, CrawlEngine
     from podcast_plow_spark.functions.urls import host_hash_py
     from podcast_plow_spark.sources.fixtures import FixtureSpec, make_fixtures
 
     root = str(tmp_path_factory.mktemp("fixtures"))
     fx = make_fixtures(FixtureSpec(root=root, n_feeds=6, entries_per_feed=6))
-    store = SnapshotStore(str(tmp_path_factory.mktemp("store")))
     npart = 32
+
+    # (a) default threshold: pure MoR — pointers never move
+    store = SnapshotStore(str(tmp_path_factory.mktemp("store_mor")))
     eng = CrawlEngine(
-        spark,
-        store,
-        fx.root,
-        config=CrawlConfig(batch_size=4, per_host_cap=1, num_partitions=npart),
+        spark, store, fx.root, config=CrawlConfig(batch_size=4, per_host_cap=1, num_partitions=npart)
     )
     eng.bootstrap(f"{fx.root}/feeds.txt")
+    before = dict(store.table_entry("frontier")["buckets"])
+    assert eng.run_epoch()
+    after = dict(store.table_entry("frontier")["buckets"])
+    assert after == before  # delta-only epoch
+    assert store.table_entry("frontier")["deltas"]
 
+    # (b) compaction forced every epoch: rewrite ⊆ batch+discovery buckets
+    store2 = SnapshotStore(str(tmp_path_factory.mktemp("store_cow")))
+    eng2 = CrawlEngine(
+        spark,
+        store2,
+        fx.root,
+        config=CrawlConfig(
+            batch_size=4, per_host_cap=1, num_partitions=npart, delta_compact_rows=1
+        ),
+    )
+    eng2.bootstrap(f"{fx.root}/feeds.txt")
     untouched_seen = 0
-    for epoch in range(1, 6):
-        before = dict(store.table_entry("frontier")["buckets"])
-        if not eng.run_epoch():
+    for epoch in range(1, 4):
+        before = dict(store2.table_entry("frontier")["buckets"])
+        if not eng2.run_epoch():
             break
-        after = dict(store.table_entry("frontier")["buckets"])
-
-        log = store.read_table(spark, "crawl_log").where(F.col("epoch") == epoch)
+        after = dict(store2.table_entry("frontier")["buckets"])
+        log = store2.read_table(spark, "crawl_log").where(F.col("epoch") == epoch)
         batch_hosts = {r["host"] for r in log.select("host").distinct().collect()}
         new_hosts = {
             r["host"]
-            for r in store.read_table(spark, "frontier")
+            for r in store2.read_table(spark, "frontier")
             .where(F.col("discovered_epoch") == epoch)
             .select("host")
             .distinct()
