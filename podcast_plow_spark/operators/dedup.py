@@ -49,24 +49,22 @@ __all__ = [
 _LOG = logging.getLogger(__name__)
 
 
-def _drop_hot_keys(rows: DataFrame, key_cols: list[str], cap: int, what: str) -> DataFrame:
-    """Heavy-hitter cap for candidate generation: keys occurring in more
-    than ``cap`` rows are excluded from the pair-generating join (a key
-    with df=d yields O(d²) candidate pairs — one stop-phrase shingle in
-    10^5 docs is 10^10 pairs). Standard MinHash-LSH practice; the
-    exact-verify stage still uses ALL rows, so surviving pairs'
-    similarity values are exact.
+def _find_hot_keys(rows: DataFrame, key_cols: list[str], cap: int, what: str) -> DataFrame | None:
+    """Heavy-hitter detection for candidate generation: keys occurring
+    in more than ``cap`` rows must be excluded from the pair-generating
+    join (a key with df=d yields O(d²) candidate pairs — one
+    stop-phrase shingle in 10^5 docs is 10^10 pairs). Standard
+    MinHash-LSH practice; exact verification still uses ALL rows.
 
-    The dropped keys are computed eagerly and logged — capping is a
-    recall trade-off and must never be silent. Hot keys are by
-    definition few (an aggregate exceeding ``cap`` occurrences), so
-    collecting them is one tiny action and the exclusion join
-    broadcasts a local DataFrame — the full key counts are computed
-    exactly once."""
+    The hot keys are computed eagerly and logged — capping is a recall
+    trade-off and must never be silent. Hot keys are by definition few
+    (an aggregate exceeding ``cap`` occurrences), so collecting them is
+    one tiny action and the exclusion join broadcasts a local
+    DataFrame. Returns None when nothing exceeds the cap."""
     counts = rows.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__df"))
     hot_rows = counts.where(F.col("__df") > cap).collect()
     if not hot_rows:
-        return rows
+        return None
     top = sorted(hot_rows, key=lambda r: -r["__df"])[:3]
     _LOG.warning(
         "df-cap %d on %s: excluding %d hot key(s) from candidate generation (top: %s)",
@@ -76,32 +74,38 @@ def _drop_hot_keys(rows: DataFrame, key_cols: list[str], cap: int, what: str) ->
         [(tuple(r[c] for c in key_cols), r["__df"]) for r in top],
     )
     spark = rows.sparkSession
-    hot_df = spark.createDataFrame(
+    return spark.createDataFrame(
         [tuple(r[c] for c in key_cols) for r in hot_rows],
         rows.select(*key_cols).schema,
     )
-    return rows.join(F.broadcast(hot_df), key_cols, "left_anti")
+
+
+def _drop_hot_keys(rows: DataFrame, key_cols: list[str], cap: int, what: str) -> DataFrame:
+    hot = _find_hot_keys(rows, key_cols, cap, what)
+    if hot is None:
+        return rows
+    return rows.join(F.broadcast(hot), key_cols, "left_anti")
 
 
 def _verify_exact_jaccard(
     cand: DataFrame, sh: DataFrame, id_col: str, jaccard_threshold: float
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate (a_id, b_id)
-    pairs against the FULL (uncapped) shingle sets."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    common = (
-        cand.join(sh.select(F.col(id_col).alias("a_id"), "shingle"), "a_id")
-        .join(sh.select(F.col(id_col).alias("b_id"), "shingle"), ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    pairs against the FULL (uncapped) shingle sets.
+
+    Each doc's (distinct) shingle set is collapsed to ONE array row, so
+    verification is two id-equi-joins plus a JVM-side
+    ``array_intersect`` — instead of re-shuffling the exploded shingle
+    relation twice and re-aggregating per pair. A doc's shingle set is
+    O(doc tokens) — row-sized at any corpus scale."""
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("__set"))
+    a_sets = sets.select(F.col(id_col).alias("a_id"), F.col("__set").alias("__a_set"))
+    b_sets = sets.select(F.col(id_col).alias("b_id"), F.col("__set").alias("__b_set"))
+    joined = cand.join(a_sets, "a_id").join(b_sets, "b_id")
+    n_common = F.size(F.array_intersect("__a_set", "__b_set"))
+    n_a, n_b = F.size("__a_set"), F.size("__b_set")
     return (
-        common.join(sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a")), "a_id")
-        .join(sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b")), "b_id")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
-        )
+        joined.withColumn("jaccard", F.round(n_common / (n_a + n_b - n_common), 4))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("a_id", "b_id", "jaccard")
     )
@@ -296,8 +300,43 @@ def ngram_jaccard_pairs(
             .select("a_id", "b_id", "jaccard")
         )
     sh = sh.cache()
-    capped = _drop_hot_keys(sh, ["shingle"], df_cap, "inverted-index shingles")
+    hot = _find_hot_keys(sh, ["shingle"], df_cap, "inverted-index shingles")
+    if hot is None:
+        # nothing exceeds the cap → capped == full: the single-pass
+        # exact path above is both cheaper and identical
+        return ngram_jaccard_pairs(docs, id_col, text_col, k_shingle, jaccard_threshold, None)
+    capped = sh.join(F.broadcast(hot), ["shingle"], "left_anti")
+
+    # pass 1 — map-side-combinable capped-common counts per pair (the
+    # same cheap shape as the uncapped single pass)
     a = capped.select(F.col(id_col).alias("a_id"), "shingle")
     b = capped.select(F.col(id_col).alias("b_id"), "shingle")
-    cand = a.join(b, "shingle").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
-    return _verify_exact_jaccard(cand, sh, id_col, jaccard_threshold)
+    cc = (
+        a.join(b, "shingle")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("__cc"))
+    )
+    # pass 2 — sound upper-bound prune: true common ≤ capped common +
+    # min(hot-shingle counts of the two docs), and jaccard is monotone
+    # in common, so pairs whose bound misses the threshold can never
+    # pass exact verification. This kills the (candidate-heavy,
+    # winner-light) bulk before any per-pair set work.
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    hot_counts = (
+        sh.join(F.broadcast(hot), ["shingle"], "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    per_doc = sizes.join(hot_counts, id_col, "left").select(
+        F.col(id_col), F.col("__n"), F.coalesce(F.col("__h"), F.lit(0)).alias("__h")
+    )
+    scored = (
+        cc.join(per_doc.select(F.col(id_col).alias("a_id"), F.col("__n").alias("__na"), F.col("__h").alias("__ha")), "a_id")
+        .join(per_doc.select(F.col(id_col).alias("b_id"), F.col("__n").alias("__nb"), F.col("__h").alias("__hb")), "b_id")
+    )
+    c_max = F.col("__cc") + F.least(F.col("__ha"), F.col("__hb"))
+    ub = c_max / (F.col("__na") + F.col("__nb") - c_max)
+    survivors = scored.where(ub >= F.lit(jaccard_threshold - 1e-4)).select("a_id", "b_id")
+    # pass 3 — exact verify of the few survivors on FULL shingle sets
+    return _verify_exact_jaccard(survivors, sh, id_col, jaccard_threshold)
