@@ -184,18 +184,29 @@ class SnapshotStore:
     def compact_deltas(self, name: str) -> list[int]:
         """Fold the delta overlay into the bucket files (amortized,
         bucket-pruned rewrite) and clear the delta list. Returns the
-        rewritten bucket ids."""
+        rewritten bucket ids.
+
+        The overlay is built from the CURRENT entry — staged first,
+        committed as fallback — so compacting in the same epoch as a
+        just-staged merge_delta folds that delta too (read_table would
+        only see the committed manifest and silently drop the staged
+        updates; caught by the crawl-parity-under-compaction test)."""
         entry = self._current_entry(name)
         assert isinstance(entry, dict) and entry.get("kind") == "bucketed"
         if not entry.get("deltas"):
             return []
-        # read WITH overlay, restricted to the buckets the delta touches
         spark = SparkSession.getActiveSession()
         assert spark is not None
         bucket_col = entry["bucket_col"]
+        key_col = entry.get("delta_key", "seq")
         delta = spark.read.parquet(*[os.path.join(self.root, p) for p in entry["deltas"]])
         touched = sorted(int(r[0]) for r in delta.select(bucket_col).distinct().collect())
-        merged = self.read_table(spark, name, bucket_ids=touched)
+        base_paths = self._entry_paths(entry, touched)
+        if base_paths:
+            base = spark.read.parquet(*base_paths)
+            merged = base.join(F.broadcast(delta.select(key_col)), key_col, "left_anti").unionByName(delta)
+        else:
+            merged = delta
         rewritten = self.merge_buckets(name, merged, bucket_col)
         staged = dict(self._staged[name])
         staged["deltas"] = []

@@ -267,19 +267,46 @@ def test_engine_epoch_is_delta_only_then_compaction_prunes(spark, tmp_path_facto
 
 def test_engine_on_bucketed_store_matches_oracle(spark, tmp_path_factory):
     """Crawl parity is layout-independent: the bucketed store + polite
-    dequeue produce the identical ordering/seen set as the oracle."""
+    dequeue produce the identical ordering/seen set as the oracle —
+    both in pure merge-on-read mode AND with compaction forced every
+    epoch (compaction is a layout change, never a semantic one)."""
     from podcast_plow_spark.crawl.engine import CrawlConfig, CrawlEngine
     from podcast_plow_spark.crawl.oracle import sequential_crawl
     from podcast_plow_spark.sources.fixtures import FixtureSpec, make_fixtures
 
     root = str(tmp_path_factory.mktemp("fx2"))
     fx = make_fixtures(FixtureSpec(root=root, n_feeds=5, entries_per_feed=5))
-    store = SnapshotStore(str(tmp_path_factory.mktemp("store2")))
-    eng = CrawlEngine(
-        spark, store, fx.root, config=CrawlConfig(batch_size=6, per_host_cap=2, num_partitions=16)
-    )
-    eng.run(seeds_path=f"{fx.root}/feeds.txt")
     oracle = sequential_crawl(fx.root, batch_size=6, per_host_cap=2)
-    assert eng.crawl_order() == oracle.crawl_order
-    assert eng.seen_set() == oracle.seen
-    assert eng.fetched_image_ids() == oracle.fetched_images
+
+    for compact_rows in (100_000, 1):  # MoR-only, compact-every-epoch
+        store = SnapshotStore(str(tmp_path_factory.mktemp(f"store2_{compact_rows}")))
+        eng = CrawlEngine(
+            spark,
+            store,
+            fx.root,
+            config=CrawlConfig(
+                batch_size=6, per_host_cap=2, num_partitions=16, delta_compact_rows=compact_rows
+            ),
+        )
+        eng.run(seeds_path=f"{fx.root}/feeds.txt")
+        assert eng.crawl_order() == oracle.crawl_order, compact_rows
+        assert eng.seen_set() == oracle.seen, compact_rows
+        assert eng.fetched_image_ids() == oracle.fetched_images, compact_rows
+
+
+def test_compact_in_same_epoch_as_merge_folds_staged_delta(spark, tmp_path):
+    """Regression: compacting in the SAME (uncommitted) epoch as a
+    merge_delta must fold the staged delta, not the committed state."""
+    store = SnapshotStore(str(tmp_path))
+    store.write_bucketed("frontier", _frontier_like(spark, range(8)))
+    store.commit(0)
+    upd = spark.createDataFrame(
+        [(1, 1, "u1", "finished")], "seq long, host_hash int, url_canon string, status string"
+    )
+    store.merge_delta("frontier", upd)
+    store.compact_deltas("frontier")  # same epoch, no commit in between
+    store.commit(1)
+    back = store.read_table(spark, "frontier")
+    assert back.where(F.col("seq") == 1).collect()[0]["status"] == "finished"
+    assert back.count() == 8
+    assert store.table_entry("frontier")["deltas"] == []
