@@ -134,16 +134,17 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per doc: (id, shingle)."""
+    """Distinct k-word shingles per doc: (id, shingle).
+
+    Deduplication happens INSIDE each row (``array_distinct`` over the
+    doc's shingle array) before the explode — per-doc distinctness
+    needs no global ``.distinct()`` shuffle, because a shingle row
+    belongs to exactly one document. Zero exchanges."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
     starts = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(F.array().cast("array<int>"))
-    return (
-        docs.select(F.col(id_col), toks.alias("__toks"), starts.alias("__starts"))
-        .select(F.col(id_col), F.explode("__starts").alias("__s"), F.col("__toks"))
-        .select(F.col(id_col), F.array_join(F.slice("__toks", F.col("__s"), k), " ").alias("shingle"))
-        .distinct()
-    )
+    shingles = F.transform(starts, lambda s: F.array_join(F.slice(toks, s, k), " "))
+    return docs.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
 
 
 def shingle_hash_col(shingle: Column) -> Column:

@@ -142,3 +142,13 @@ def test_polite_dequeue_store_read_no_full_frontier_exchange(spark, tmp_path_fac
         assert filter_pos != -1 and filter_pos < scan_pos, plan
         seg = below[filter_pos:scan_pos]
         assert "seq#" in seg and "priority#" in seg, seg  # the prefix predicate
+
+
+def test_word_shingles_has_no_exchange(spark):
+    """Per-doc shingle dedup is row-local (array_distinct before the
+    explode) — no global distinct shuffle over the exploded relation."""
+    from podcast_plow_spark.operators.dedup import word_shingles
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(word_shingles(docs))
+    assert "Exchange" not in plan, plan
