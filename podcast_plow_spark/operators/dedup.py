@@ -88,7 +88,11 @@ def _drop_hot_keys(rows: DataFrame, key_cols: list[str], cap: int, what: str) ->
 
 
 def _verify_exact_jaccard(
-    cand: DataFrame, sh: DataFrame, id_col: str, jaccard_threshold: float
+    cand: DataFrame,
+    sh: DataFrame,
+    id_col: str,
+    jaccard_threshold: float,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate (a_id, b_id)
     pairs against the FULL (uncapped) shingle sets.
@@ -97,8 +101,11 @@ def _verify_exact_jaccard(
     verification is two id-equi-joins plus a JVM-side
     ``array_intersect`` — instead of re-shuffling the exploded shingle
     relation twice and re-aggregating per pair. A doc's shingle set is
-    O(doc tokens) — row-sized at any corpus scale."""
-    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("__set"))
+    O(doc tokens) — row-sized at any corpus scale. ``sets`` lets the
+    caller pass a pre-aggregated (id, __set) frame (e.g. fused with the
+    minhash aggregation) instead of re-aggregating ``sh``."""
+    if sets is None:
+        sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("__set"))
     a_sets = sets.select(F.col(id_col).alias("a_id"), F.col("__set").alias("__a_set"))
     b_sets = sets.select(F.col(id_col).alias("b_id"), F.col("__set").alias("__b_set"))
     joined = cand.join(a_sets, "a_id").join(b_sets, "b_id")
@@ -206,10 +213,23 @@ def minhash_lsh_pairs(
     ``bucket_cap``: buckets holding more than this many docs are
     excluded from candidate generation (a degenerate bucket of b docs
     is O(b²) pairs); the drop is logged, never silent. Verification
-    still uses full shingle sets."""
+    still uses full shingle sets.
+
+    Plan shape: ONE aggregation over the (shuffle-free) shingle
+    relation computes the minhash signature AND the verify set per doc
+    — the whole operator is a single groupBy shuffle plus the banded
+    candidate equi-join and the array-set verify joins."""
     rows_per_band = num_hashes // n_bands
-    sh = word_shingles(docs, id_col, text_col, k_shingle).cache()
-    sig = minhash_signatures(sh, id_col, num_hashes, seed)
+    sh = word_shingles(docs, id_col, text_col, k_shingle)
+    h = shingle_hash_col(F.col("shingle")) % MINHASH_P
+    per_doc = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("__set"),
+        *[
+            F.min((h * a + b) % MINHASH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_affine_params(num_hashes, seed))
+        ],
+    ).cache()
+    sig = per_doc
     bands = sig.select(
         F.col(id_col),
         F.explode(
@@ -233,7 +253,9 @@ def minhash_lsh_pairs(
     a = bands.select(F.col(id_col).alias("a_id"), "band", "bsig")
     b = bands.select(F.col(id_col).alias("b_id"), "band", "bsig")
     cand = a.join(b, ["band", "bsig"]).where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
-    return _verify_exact_jaccard(cand, sh, id_col, jaccard_threshold)
+    return _verify_exact_jaccard(
+        cand, sh, id_col, jaccard_threshold, sets=per_doc.select(id_col, "__set")
+    )
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
