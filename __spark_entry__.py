@@ -643,6 +643,91 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk_pairs(spark, _t(spark, sf_dir, "embeddings"), k=50)
 
 
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN tier (brief: "IVF or LSH-bucketed variant as the scale
+    path" — this engine ships BOTH): seeded-random coarse quantizer,
+    n_probe=2 multi-assignment, inverted-file equi-join candidates,
+    exact cosine rerank. Oracle replays the identical centroids and
+    first-index-of-max assignment in SQL."""
+    from podcast_plow_spark.operators.similarity import ivf_cosine_topk_pairs
+
+    return ivf_cosine_topk_pairs(
+        spark, _t(spark, sf_dir, "embeddings"), k=50, n_cells=8, n_probe=3, seed=7
+    )
+
+
+def _ivf_cosine_oracle_sql(
+    k: int = 50, n_cells: int = 8, n_probe: int = 3, seed: int = 7, dim: int = 64
+) -> str:
+    """DuckDB mirror of ivf_cosine_topk_pairs: same seeded centroids
+    (normalized, full-precision literals), same argmax-with-first-index
+    tie rule (list_position), same masked successive probes, same
+    candidate join and 4-dp rounded rerank."""
+    import numpy as np
+
+    from podcast_plow_spark.operators.similarity import ivf_cells
+
+    rng = np.random.default_rng(seed)
+    cents = ivf_cells(rng.standard_normal((n_cells, dim)))
+
+    def cent_lit(i: int) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in cents[i]) + "]"
+
+    sims_list = "[" + ",\n    ".join(
+        f"list_cosine_similarity(e, {cent_lit(i)})" for i in range(n_cells)
+    ) + "]"
+
+    # probe j masks the already-taken cells with -1e9 (explicit per-slot
+    # CASE — same first-index-of-max rule as numpy argmax after masking)
+    def masked(j: int) -> str:
+        taken = " OR ".join(f"{{i}} = cell{p}" for p in range(1, j))
+        return "[" + ", ".join(
+            f"CASE WHEN {taken.format(i=i)} THEN -1e9 ELSE s[{i + 1}] END" for i in range(n_cells)
+        ) + "]"
+
+    probe_ctes = [
+        """p1 AS (
+  SELECT vec_id, e, s,
+         CAST(list_position(s, list_aggregate(s, 'max')) - 1 AS BIGINT) AS cell1
+  FROM sims
+)"""
+    ]
+    for j in range(2, n_probe + 1):
+        mj = masked(j)
+        prev_cells = ", ".join(f"cell{p}" for p in range(1, j))
+        probe_ctes.append(
+            f"""p{j} AS (
+  SELECT vec_id, e, s, {prev_cells},
+         CAST(list_position({mj}, list_aggregate({mj}, 'max')) - 1 AS BIGINT) AS cell{j}
+  FROM p{j - 1}
+)"""
+        )
+    cells_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, cell{p} AS cell FROM p{n_probe}" for p in range(1, n_probe + 1)
+    )
+    return f"""
+WITH e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+sims AS (
+  SELECT vec_id, e, {sims_list} AS s FROM e0
+),
+{", ".join(probe_ctes)},
+cells AS (
+{cells_union}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT c.a_id, c.b_id,
+       ROUND(list_cosine_similarity(ea.e, eb.e), 4) AS cos_sim
+FROM cand c JOIN e0 ea ON ea.vec_id = c.a_id JOIN e0 eb ON eb.vec_id = c.b_id
+ORDER BY cos_sim DESC, a_id ASC, b_id ASC
+LIMIT {k}
+"""
+
+
 def _lsh_cosine_oracle_sql(k: int = 50, n_planes: int = 16, n_bands: int = 4, seed: int = 42, dim: int = 64) -> str:
     """DuckDB mirror of lsh_cosine_topk_pairs: the same seeded-numpy
     hyperplanes (full-precision literals), same band/bucket bit packing
@@ -1647,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stance_classify": q_stance_classify,
         "summarize_docs": q_summarize_docs,
         "luhn_summary": q_luhn_summary,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
         "pubtype_classify": q_pubtype_classify,
         "extract_claims": q_extract_claims,
         "segment_transcripts": q_segment_transcripts,
@@ -1702,6 +1788,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_dedup": _minhash_lsh_oracle_sql(),
         "luhn_summary": _SQL_LUHN_SUMMARY,
         "lsh_cosine_topk": _lsh_cosine_oracle_sql(),
+        "ivf_cosine_topk": _ivf_cosine_oracle_sql(),
         # Golden-parquet oracles for the per-row python pipelines
         # (regex-fixpoint stance, stateful segment/claim accumulators,
         # greedy summary): the goldens are produced by a SEQUENTIAL

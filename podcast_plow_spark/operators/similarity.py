@@ -18,6 +18,11 @@ Two tiers, per the scale plan:
   hyperplane signatures (SimHash-for-cosine), banded into buckets; an
   equi-join on (band, bucket) prunes the candidate pairs, exact cosine
   reranks inside buckets only. No driver-side corpus needed.
+- :func:`ivf_cosine_topk_pairs` — the second scale tier (brief:
+  "IVF or LSH-bucketed"): a seeded-random coarse quantizer assigns
+  each vector to its n_probe nearest cells (one BLAS matmul per Arrow
+  batch, no shuffle); candidates are same-cell pairs via the inverted
+  file's equi-join; exact rerank inside cells.
 
 The reference has no vector operators (pgvector loaded but unused —
 reference ``infra/initdb/001_init.sql:3``); these are the new
@@ -33,7 +38,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk_pairs", "lsh_cosine_buckets", "lsh_cosine_topk_pairs"]
+__all__ = [
+    "cosine_topk_pairs",
+    "lsh_cosine_buckets",
+    "lsh_cosine_topk_pairs",
+    "ivf_assignments",
+    "ivf_cosine_topk_pairs",
+]
 
 
 def cosine_topk_pairs(
@@ -194,6 +205,106 @@ def lsh_cosine_topk_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
+    va = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    vb = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    pairs = cand.join(va, "a_id").join(vb, "b_id")
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            am = np.stack(pdf["a_vec"].to_numpy()).astype(np.float64)
+            bm = np.stack(pdf["b_vec"].to_numpy()).astype(np.float64)
+            dots = np.einsum("ij,ij->i", am, bm)
+            na = np.linalg.norm(am, axis=1)
+            nb = np.linalg.norm(bm, axis=1)
+            cos = dots / np.where(na * nb == 0, 1.0, na * nb)
+            yield pd.DataFrame({"a_id": pdf["a_id"], "b_id": pdf["b_id"], "cos_sim": cos})
+
+    scored = pairs.mapInPandas(rerank, schema="a_id long, b_id long, cos_sim double")
+    return (
+        scored.select("a_id", "b_id", F.round(F.col("cos_sim"), round_digits).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("a_id").asc(), F.col("b_id").asc())
+        .limit(k)
+    )
+
+
+# --- IVF (inverted-file) ANN tier -----------------------------------------
+
+def ivf_cells(centroids: np.ndarray) -> np.ndarray:
+    """Normalize a seeded centroid matrix (rows = cells)."""
+    norms = np.linalg.norm(centroids, axis=1)
+    return centroids / np.where(norms == 0, 1.0, norms)[:, None]
+
+
+def ivf_assignments(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its ``n_probe``
+    most-similar (cosine) cells out of ``n_cells`` seeded random
+    centroids. Returns (id, cell) — one row per probe.
+
+    Deterministic and oracle-replayable: centroids come from a seeded
+    RNG generated identically everywhere; assignment is
+    first-index-of-max (then of the masked max for probe 2), the same
+    tie rule as DuckDB's ``list_position`` — the generated oracle SQL
+    inlines the identical centroid literals.
+
+    Scale shape: one vectorized pandas stage (a single (B, n_cells)
+    BLAS matmul per Arrow batch), no shuffle, no driver data."""
+    rng = np.random.default_rng(seed)
+    cents = ivf_cells(rng.standard_normal((n_cells, dim)))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(mat, axis=1)
+            mat = mat / np.where(nrm == 0, 1.0, nrm)[:, None]
+            sims = mat @ cents.T  # (B, n_cells)
+            ids = pdf[id_col].to_numpy()
+            out_ids, out_cells = [], []
+            cur = sims.copy()
+            for _ in range(min(n_probe, n_cells)):
+                best = np.argmax(cur, axis=1)  # first index of max
+                out_ids.append(ids)
+                out_cells.append(best.astype(np.int64))
+                cur[np.arange(len(ids)), best] = -np.inf
+            yield pd.DataFrame(
+                {id_col: np.concatenate(out_ids), "cell": np.concatenate(out_cells)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(assign, schema=f"{id_col} long, cell long")
+
+
+def ivf_cosine_topk_pairs(
+    spark: SparkSession,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 50,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 7,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-pruned top-k cosine pairs: candidates = pairs sharing any of
+    their ``n_probe`` cells (equi-join on cell — the inverted file),
+    exact cosine rerank, global TakeOrdered. The second scale tier
+    alongside the hyperplane-LSH path; recall floor asserted in
+    tests/test_similarity.py, exactness of the rerank by the DuckDB
+    oracle (centroids inlined)."""
+    cells = ivf_assignments(emb, id_col, vec_col, n_cells, n_probe, seed)
+    a = cells.select(F.col(id_col).alias("a_id"), "cell")
+    b = cells.select(F.col(id_col).alias("b_id"), "cell")
+    cand = a.join(b, "cell").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
     va = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
     vb = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
     pairs = cand.join(va, "a_id").join(vb, "b_id")

@@ -52,3 +52,34 @@ def test_lsh_is_subset_of_true_cosines(spark, emb):
         key = (r["a_id"], r["b_id"])
         if key in exact_all:
             assert abs(exact_all[key] - r["cos_sim"]) < 1e-6
+
+
+def test_ivf_recall_and_exact_rerank(spark, emb):
+    """IVF tier (n_cells=8, n_probe=3 — the driver-query config):
+    recall vs the exact brute-force top-50 stays above the floor, and
+    every emitted similarity is the true cosine (rerank is exact)."""
+    from podcast_plow_spark.operators.similarity import ivf_cosine_topk_pairs
+
+    exact = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in cosine_topk_pairs(spark, emb, k=50).collect()
+    }
+    ivf = ivf_cosine_topk_pairs(spark, emb, k=50, n_cells=8, n_probe=3, seed=7).collect()
+    got = {(r["a_id"], r["b_id"]): r["cos_sim"] for r in ivf}
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.7, f"IVF recall {recall}"
+    for k_, v in got.items():
+        if k_ in exact:
+            assert abs(v - exact[k_]) < 1e-9
+
+
+def test_ivf_assignment_is_deterministic_and_multi_probe(spark, emb):
+    from podcast_plow_spark.operators.similarity import ivf_assignments
+
+    a1 = sorted(tuple(r) for r in ivf_assignments(emb, n_cells=8, n_probe=3, seed=7).collect())
+    a2 = sorted(tuple(r) for r in ivf_assignments(emb.repartition(13), n_cells=8, n_probe=3, seed=7).collect())
+    assert a1 == a2  # partition-layout invariant
+    per_id: dict = {}
+    for vid, cell in a1:
+        per_id.setdefault(vid, set()).add(cell)
+    assert all(len(cells) == 3 for cells in per_id.values())  # 3 distinct probes
