@@ -65,16 +65,21 @@ def parse_robots(text: str, user_agent: str) -> list[tuple[bool, str]]:
         groups.append((current_agents, current_rules))
 
     ua = user_agent.lower()
-    # most specific agent token wins; '*' is the fallback
-    best: list[tuple[bool, str]] | None = None
+    # most specific agent token wins; '*' is the fallback. RFC 9309
+    # §2.2.1: multiple groups naming the SAME token are combined into
+    # one group (rules concatenated in document order).
+    best_token: str | None = None
     best_len = -1
-    for agents, rules in groups:
+    for agents, _rules in groups:
         for agent in agents:
-            if agent == "*" and best_len < 0:
-                best = rules
-            elif agent != "*" and agent in ua and len(agent) > best_len:
-                best, best_len = rules, len(agent)
-    return best or []
+            if agent != "*" and agent in ua and len(agent) > best_len:
+                best_token, best_len = agent, len(agent)
+    merged: list[tuple[bool, str]] = []
+    target = best_token if best_token is not None else "*"
+    for agents, rules in groups:
+        if target in agents:
+            merged.extend(rules)
+    return merged
 
 
 def _pattern_to_regex(pattern: str) -> re.Pattern[str]:

@@ -67,3 +67,24 @@ def test_trailing_dollar_still_anchors():
     r = parse_robots(body, "plow-spark")
     assert robots_allowed(r, "/exact") is False
     assert robots_allowed(r, "/exactly") is True
+
+
+def test_same_agent_groups_are_merged():
+    # RFC 9309 §2.2.1: multiple groups naming the same user-agent are
+    # combined into one group — rules from BOTH apply
+    body = (
+        "User-agent: plow-spark\nDisallow: /a/\n\n"
+        "User-agent: other\nDisallow: /\n\n"
+        "User-agent: plow-spark\nDisallow: /b/\n"
+    )
+    r = parse_robots(body, "plow-spark")
+    assert robots_allowed(r, "/a/x") is False
+    assert robots_allowed(r, "/b/x") is False
+    assert robots_allowed(r, "/c/x") is True
+
+
+def test_star_groups_also_merge():
+    body = "User-agent: *\nDisallow: /a/\n\nUser-agent: *\nDisallow: /b/\n"
+    r = parse_robots(body, "anybot")
+    assert robots_allowed(r, "/a/x") is False
+    assert robots_allowed(r, "/b/x") is False
