@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "parse_robots",
+    "parse_crawl_delay",
     "robots_allowed",
     "robots_filter",
     "schedule_fetches",
@@ -80,6 +81,51 @@ def parse_robots(text: str, user_agent: str) -> list[tuple[bool, str]]:
         if target in agents:
             merged.extend(rules)
     return merged
+
+
+def parse_crawl_delay(text: str, user_agent: str) -> float | None:
+    """Crawl-delay for the selected (merged) user-agent group, seconds.
+    Non-standard but widely honored; the last valid value among the
+    chosen groups wins. None when absent/invalid."""
+    groups: list[tuple[list[str], float | None]] = []
+    current_agents: list[str] = []
+    current_delay: float | None = None
+    saw_rule = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if saw_rule:
+                groups.append((current_agents, current_delay))
+                current_agents, current_delay, saw_rule = [], None, False
+            current_agents.append(val.lower())
+        elif key in ("allow", "disallow", "crawl-delay"):
+            saw_rule = True
+            if key == "crawl-delay":
+                try:
+                    current_delay = float(val)
+                except ValueError:
+                    pass
+    if current_agents:
+        groups.append((current_agents, current_delay))
+
+    ua = user_agent.lower()
+    best_token: str | None = None
+    best_len = -1
+    for agents, _d in groups:
+        for agent in agents:
+            if agent != "*" and agent in ua and len(agent) > best_len:
+                best_token, best_len = agent, len(agent)
+    target = best_token if best_token is not None else "*"
+    delay: float | None = None
+    for agents, d in groups:
+        if target in agents and d is not None:
+            delay = d
+    return delay
 
 
 def _pattern_to_regex(pattern: str) -> re.Pattern[str]:
@@ -153,23 +199,36 @@ def schedule_fetches(
     max_connections: int = 1,
     rank_col: str = "crawl_rank",
     host_col: str = "host",
+    per_host_delay: dict[str, float] | None = None,
 ) -> DataFrame:
     """Assign each URL in a dequeued batch its politeness-constrained
     fetch offset (seconds from epoch start).
 
-    Per host: fetches are spaced ``crawl_delay / max_connections``
-    apart in crawl-rank order (reference-equivalent setting is
+    Per host: fetches are spaced ``delay / max_connections`` apart in
+    crawl-rank order (reference-equivalent setting is
     max_connections=1 → strictly sequential per host, SURVEY.md P7).
-    Pure window arithmetic — no Python state: offset = (rank within
-    host − 1) × delay. Politeness only ever *delays* URLs, so crawl
-    ordering (global rank) is untouched.
+    ``per_host_delay`` (e.g. robots Crawl-delay values from
+    :func:`parse_crawl_delay`) overrides the default per host — the
+    map is inlined as a literal (it's per-host metadata, broadcast-
+    sized). Pure window arithmetic — no Python state: offset = (rank
+    within host − 1) × spacing. Politeness only ever *delays* URLs,
+    so crawl ordering (global rank) is untouched.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(host_col).orderBy(F.col(rank_col).asc())
-    spacing = crawl_delay_sec / max(1, max_connections)
+    if per_host_delay:
+        kv: list = []
+        for h, d in per_host_delay.items():
+            kv.extend([F.lit(h), F.lit(float(d))])
+        delay = F.coalesce(
+            F.element_at(F.create_map(*kv), F.col(host_col)), F.lit(float(crawl_delay_sec))
+        )
+    else:
+        delay = F.lit(float(crawl_delay_sec))
+    spacing = delay / F.lit(float(max(1, max_connections)))
     return batch.withColumn(
-        "fetch_offset_sec", ((F.row_number().over(w) - 1) * F.lit(spacing)).cast("double")
+        "fetch_offset_sec", ((F.row_number().over(w) - 1) * spacing).cast("double")
     )
 
 

@@ -88,3 +88,33 @@ def test_star_groups_also_merge():
     r = parse_robots(body, "anybot")
     assert robots_allowed(r, "/a/x") is False
     assert robots_allowed(r, "/b/x") is False
+
+
+class TestCrawlDelay:
+    def test_parsed_for_selected_group(self):
+        body = (
+            "User-agent: *\nDisallow: /x/\nCrawl-delay: 2.5\n\n"
+            "User-agent: plow-spark\nDisallow: /y/\nCrawl-delay: 0.5\n"
+        )
+        from podcast_plow_spark.operators.politeness import parse_crawl_delay
+
+        assert parse_crawl_delay(body, "plow-spark") == 0.5
+        assert parse_crawl_delay(body, "otherbot") == 2.5
+        assert parse_crawl_delay("User-agent: *\nDisallow: /\n", "x") is None
+        assert parse_crawl_delay("User-agent: *\nCrawl-delay: nope\n", "x") is None
+
+    def test_scheduler_honors_per_host_delay(self, spark):
+        from podcast_plow_spark.operators.politeness import schedule_fetches
+
+        batch = spark.createDataFrame(
+            [(f"u{i}", "slow.com" if i % 2 == 0 else "fast.com", i + 1) for i in range(6)],
+            "url_canon string, host string, crawl_rank long",
+        )
+        out = schedule_fetches(
+            batch, crawl_delay_sec=1.0, per_host_delay={"slow.com": 4.0}
+        ).collect()
+        by_host = {}
+        for r in out:
+            by_host.setdefault(r["host"], []).append(r["fetch_offset_sec"])
+        assert sorted(by_host["slow.com"]) == [0.0, 4.0, 8.0]
+        assert sorted(by_host["fast.com"]) == [0.0, 1.0, 2.0]
