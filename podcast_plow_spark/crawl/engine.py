@@ -53,7 +53,11 @@ from podcast_plow_spark.functions.urls import (
     url_kind_col,
 )
 from podcast_plow_spark.operators import frontier as fr
-from podcast_plow_spark.operators.politeness import robots_filter
+from podcast_plow_spark.operators.politeness import (
+    parse_crawl_delay,
+    robots_filter,
+    schedule_fetches,
+)
 from podcast_plow_spark.operators.seen import build_bloom, seen_filter_exact
 from podcast_plow_spark.sources.feeds import fetch_and_parse_feeds, load_seeds
 from podcast_plow_spark.sources.snapshots import SnapshotStore
@@ -78,6 +82,11 @@ class CrawlConfig:
     #: this many rows (amortized compaction; keeps the read overlay
     #: broadcast-sized)
     delta_compact_rows: int = 100_000
+    #: default inter-fetch spacing per host, seconds — the reference's
+    #: sleep_between (0.34 s, evidence_fetcher.py:742-747). Overridden
+    #: per host by a robots Crawl-delay when present.
+    crawl_delay_sec: float = 0.34
+    max_connections: int = 1
 
 
 class CrawlEngine:
@@ -95,6 +104,7 @@ class CrawlEngine:
         self.image_table_path = image_table_path
         self.cfg = config or CrawlConfig()
         self._robots_bodies: dict[str, str] | None = None
+        self._crawl_delays: dict[str, float] | None = None
         # incremental seen-filter: built once from the frontier, then
         # only each epoch's insertions are OR-merged in (never a full
         # rescan; saturation beyond sizing is safe — the exact backstop
@@ -116,6 +126,16 @@ class CrawlEngine:
                             bodies[host] = fh.read()
             self._robots_bodies = bodies
         return self._robots_bodies
+
+    def _delays(self) -> dict[str, float]:
+        """Per-host robots Crawl-delay overrides (P6 × P1)."""
+        if self._crawl_delays is None:
+            self._crawl_delays = {}
+            for host, body in self._robots().items():
+                d = parse_crawl_delay(body, self.cfg.user_agent)
+                if d is not None:
+                    self._crawl_delays[host] = d
+        return self._crawl_delays
 
     def _project_candidates(self, raw: DataFrame) -> DataFrame:
         """(url, seq_key[, parent info]) → canonicalized, robots-passed,
@@ -148,7 +168,9 @@ class CrawlEngine:
         # side tables are APPEND tables: each epoch adds one part,
         # history is never re-read or re-written
         empty_log = self.spark.createDataFrame(
-            [], "epoch long, crawl_rank long, url_canon string, host string, kind string"
+            [],
+            "epoch long, crawl_rank long, url_canon string, host string, kind string, "
+            "fetch_offset_sec double",
         )
         self.store.append_table("crawl_log", empty_log)
         self.store.append_table(
@@ -199,8 +221,23 @@ class CrawlEngine:
         n_feeds = batch.where(F.col("kind") == "feed").count()  # on the cached batch
 
         # --- crawl log (the observable crawl ordering): append-only
-        log_new = batch.select(
-            F.lit(epoch).cast("long").alias("epoch"), "crawl_rank", "url_canon", "host", "kind"
+        # the politeness schedule is part of the observable record:
+        # per-host spacing = robots Crawl-delay (else the reference's
+        # 0.34 s sleep) ÷ max_connections, in crawl-rank order.
+        # Politeness only delays — the global ordering is untouched.
+        sched = schedule_fetches(
+            batch,
+            crawl_delay_sec=self.cfg.crawl_delay_sec,
+            max_connections=self.cfg.max_connections,
+            per_host_delay=self._delays(),
+        )
+        log_new = sched.select(
+            F.lit(epoch).cast("long").alias("epoch"),
+            "crawl_rank",
+            "url_canon",
+            "host",
+            "kind",
+            "fetch_offset_sec",
         )
         self.store.append_table("crawl_log", log_new)
 

@@ -205,3 +205,65 @@ def test_run_epoch_honors_run_at(spark, fixtures, tmp_path_factory):
 
     clock_now["t"] = t0 + dt.timedelta(seconds=3601)
     assert eng.run_epoch() is True  # delay elapsed → dequeued
+
+
+def test_crawl_log_fetch_offsets_honor_robots_delay(spark, fixtures, tmp_path_factory):
+    """P1×P6×P7 end-to-end: within each epoch, a host's fetches are
+    spaced by that host's effective politeness delay — its robots
+    Crawl-delay for the crawler's selected group, else the reference's
+    0.34 s sleep_between — in crawl-rank order."""
+    import os
+
+    from podcast_plow_spark.operators.politeness import parse_crawl_delay
+
+    d = str(tmp_path_factory.mktemp("sched"))
+    eng = _run(spark, fixtures, d)
+
+    def effective_delay(host: str) -> float:
+        p = os.path.join(fixtures.root, "sites", host, "robots.txt")
+        body = open(p).read() if os.path.exists(p) else ""
+        dd = parse_crawl_delay(body, "plow-spark")
+        return dd if dd is not None else 0.34
+
+    log = eng.store.read_table(spark, "crawl_log").collect()
+    assert all(r["fetch_offset_sec"] is not None for r in log)
+    by_key: dict = {}
+    for r in log:
+        by_key.setdefault((r["epoch"], r["host"]), []).append((r["crawl_rank"], r["fetch_offset_sec"]))
+    saw_spacing = False
+    for (_e, host), rows in by_key.items():
+        rows.sort()
+        offs = [o for _, o in rows]
+        delay = effective_delay(host)
+        for i, o in enumerate(offs):
+            assert abs(o - i * delay) < 1e-9, (host, delay, offs)
+            if i > 0:
+                saw_spacing = True
+    assert saw_spacing  # at least one host had >1 fetch in an epoch
+
+
+def test_robots_group_crawl_delay_reaches_schedule(spark, tmp_path_factory):
+    """A host whose robots declares Crawl-delay inside the crawler's
+    OWN group gets that spacing in the crawl log."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("fx_delay"))
+    fx = make_fixtures(FixtureSpec(root=root, n_feeds=2, entries_per_feed=4))
+    host = "host0000.example.com"
+    p = os.path.join(root, "sites", host, "robots.txt")
+    with open(p, "a") as fh:
+        fh.write("Crawl-delay: 2.5\n")  # appended to the plow-spark group
+    d = str(tmp_path_factory.mktemp("sched2"))
+    store = SnapshotStore(d)
+    eng = CrawlEngine(
+        spark, store, fx.root, config=CrawlConfig(batch_size=8, per_host_cap=4, num_partitions=4)
+    )
+    eng.run(seeds_path=f"{fx.root}/feeds.txt")
+    log = [r for r in eng.store.read_table(spark, "crawl_log").collect() if r["host"] == host]
+    by_epoch: dict = {}
+    for r in log:
+        by_epoch.setdefault(r["epoch"], []).append((r["crawl_rank"], r["fetch_offset_sec"]))
+    for rows in by_epoch.values():
+        rows.sort()
+        for i, (_rk, o) in enumerate(rows):
+            assert abs(o - i * 2.5) < 1e-9, rows
