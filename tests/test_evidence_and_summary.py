@@ -205,3 +205,35 @@ class TestFormat:
         assert "\n\n" in got
         first = got.split("\n\n")[0]
         assert first == "one. two. three."
+
+
+class TestLuhnProperties:
+    """Property-based invariants of the sumy-Luhn chunk algebra."""
+
+    def test_properties(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from podcast_plow_spark.functions.summarize import luhn_rate_sentence
+
+        words_st = st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f"]), max_size=40)
+        sig_st = st.sets(st.sampled_from(["a", "b", "c"]))
+
+        @settings(max_examples=300, deadline=None)
+        @given(words_st, sig_st)
+        def check(words, sig):
+            r = luhn_rate_sentence(words, sig)
+            n_sig = sum(1 for w in words if w in sig)
+            assert r >= 0.0
+            if n_sig <= 1:
+                assert r == 0.0  # single/zero significant word scores 0
+            # a chunk's rating is sig²/span ≤ n_sig² / n_sig = n_sig when
+            # span ≥ sig; max over chunks inherits the bound
+            assert r <= max(n_sig, 0)
+            if words and all(w in sig for w in words) and len(words) >= 2:
+                assert r == float(len(words))  # dense chunk: n²/n = n
+            # invariance: rating only depends on the significance pattern
+            mapped = ["x" if w in sig else "y" for w in words]
+            assert r == luhn_rate_sentence(mapped, {"x"})
+
+        check()
