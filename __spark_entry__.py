@@ -24,6 +24,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Redistribute a degenerate scan before a compute-heavy map stage.
+
+    The sandbox test tables are single-row-group parquet files, so a
+    scan is ONE input split and every downstream map stage (sha256 per
+    shingle, pandas-UDF kernels) runs on one core until the first
+    shuffle. A real 100 TB table has thousands of row groups and never
+    needs this — hence the guard: only repartition when the scan's
+    split count is below the cluster's parallelism, so at scale this is
+    the identity and no extra exchange appears in the plan."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 # ----------------------------------------------------------------------
 # Flagship: pricing summary (A1/A-family aggregation; TPC-H Q1 shape)
 # ----------------------------------------------------------------------
@@ -429,7 +445,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from podcast_plow_spark.operators.similarity import cosine_topk_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_topk_pairs(spark, emb, "vec_id", "embedding", k=50)
+    return cosine_topk_pairs(spark, _spread(emb), "vec_id", "embedding", k=50)
 
 
 _SQL_COSINE = """
@@ -446,12 +462,18 @@ LIMIT 50
 # ----------------------------------------------------------------------
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + token counting fused at the same per-doc grain
+    (one scan; the BPE-ish regex count was a separate query until the
+    driver's 50-row CORRECTNESS cap forced consolidation — COVERAGE.md
+    'driver cap' note)."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
     return d.select(
         "doc_id",
         F.size(toks).cast("long").alias("token_count"),
         F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4).alias("uniq_ratio"),
+        bpe.cast("long").alias("bpe_tokens"),
     )
 
 
@@ -459,7 +481,8 @@ _SQL_DOC_QUALITY = r"""
 SELECT doc_id,
        CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS token_count,
        ROUND(CAST(length(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
-             / length(string_split_regex(trim(text), '\s+')), 4) AS uniq_ratio
+             / length(string_split_regex(trim(text), '\s+')), 4) AS uniq_ratio,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
 FROM documents
 """
 
@@ -484,7 +507,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from podcast_plow_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), k_shingle=3, jaccard_threshold=0.5, df_cap=100
+        _spread(_t(spark, sf_dir, "documents")), k_shingle=3, jaccard_threshold=0.5, df_cap=100
     )
 
 
@@ -514,7 +537,7 @@ WHERE ROUND(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 4) >= 0.5
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from podcast_plow_spark.operators.dedup import simhash64
 
-    return simhash64(_t(spark, sf_dir, "documents"))
+    return simhash64(_spread(_t(spark, sf_dir, "documents")))
 
 
 def _simhash_oracle_sql() -> str:
@@ -539,7 +562,7 @@ SELECT doc_id, {fp} AS simhash FROM agg
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from podcast_plow_spark.operators.dedup import minhash_signatures, word_shingles
 
-    sh = word_shingles(_t(spark, sf_dir, "documents"), k=3)
+    sh = word_shingles(_spread(_t(spark, sf_dir, "documents")), k=3)
     return minhash_signatures(sh, num_hashes=16, seed=42)
 
 
@@ -569,7 +592,7 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from podcast_plow_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"),
+        _spread(_t(spark, sf_dir, "documents")),
         k_shingle=3,
         num_hashes=16,
         n_bands=4,
@@ -640,7 +663,7 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     from podcast_plow_spark.operators.similarity import lsh_cosine_topk_pairs
 
-    return lsh_cosine_topk_pairs(spark, _t(spark, sf_dir, "embeddings"), k=50)
+    return lsh_cosine_topk_pairs(spark, _spread(_t(spark, sf_dir, "embeddings")), k=50)
 
 
 def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,7 +675,7 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from podcast_plow_spark.operators.similarity import ivf_cosine_topk_pairs
 
     return ivf_cosine_topk_pairs(
-        spark, _t(spark, sf_dir, "embeddings"), k=50, n_cells=8, n_probe=3, seed=7
+        spark, _spread(_t(spark, sf_dir, "embeddings")), k=50, n_cells=8, n_probe=3, seed=7
     )
 
 
@@ -1099,19 +1122,6 @@ FROM t
 """
 
 
-def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting with a BPE-ish regex (training-data op)."""
-    d = _t(spark, sf_dir, "documents")
-    n = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
-    return d.select("doc_id", n.cast("long").alias("bpe_tokens"))
-
-
-_SQL_BPE = r"""
-SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
-FROM documents
-"""
-
-
 def q_recency_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 recency top-N with NULLS LAST under DESC (reference
     server/manage.py:330-338; Postgres default semantics)."""
@@ -1407,7 +1417,7 @@ def q_stance_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics frozen in tests/test_evidence_and_summary.py."""
     from podcast_plow_spark.functions.evidence import classify_stance_udf
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     claim = F.concat(F.col("event_type"), F.lit(" increases value"))
     title = F.when(F.col("value") > 300, F.lit("significant improvement in outcomes"))\
         .when(F.col("value") > 150, F.lit("no effect was observed"))\
@@ -1423,7 +1433,7 @@ def q_summarize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential-python golden parquet (scripts/gen_golden.py)."""
     from podcast_plow_spark.functions.summarize import summarize_documents
 
-    return summarize_documents(_t(spark, sf_dir, "documents"), max_words=40, max_sentences=3)
+    return summarize_documents(_spread(_t(spark, sf_dir, "documents")), max_words=40, max_sentences=3)
 
 
 #: stop words for the luhn_summary driver query (frozen; mirrored in SQL)
@@ -1627,7 +1637,7 @@ FROM t GROUP BY 1 ORDER BY pub_type
 
 
 def _synthetic_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.concat(
@@ -1675,6 +1685,78 @@ def q_segment_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic evidence-type vocabulary for the composed pipeline —
+#: covers all four grader buckets (meta / rct / observational / weak)
+_PIPE_EV_TYPES = [
+    "meta-analysis of trials",
+    "randomized controlled trial",
+    "cohort study",
+    "in vitro study",
+    "case report",
+    "clinical trial",
+]
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed nightly pipeline (reference
+    .github/workflows/nightly.yml:85-165): discover shows → W2
+    top-2-episodes-per-show → synthetic transcript → X22/X23 summarize
+    → claim extraction (worker/claim_extraction.py:336-371) →
+    deterministic evidence linking (sha256-derived type/stance per
+    claim, the sandbox stand-in for the PubMed fetch) → A3 grade
+    (server/services/grader.py:137-195). Every stage is individually
+    oracle-checked elsewhere; this entry checks the COMPOSITION (schema
+    drift between stages only shows up end-to-end). Oracle =
+    sequential-python golden parquet (scripts/gen_golden.py)."""
+    from podcast_plow_spark.functions.summarize import summarize_documents
+    from podcast_plow_spark.operators.grade import grade_claims
+    from podcast_plow_spark.operators.segments import extract_claims_df
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    shows = d.select("doc_id", (F.col("doc_id") % 40).alias("show_id"), "text")
+    w = Window.partitionBy("show_id").orderBy(F.col("doc_id").desc())
+    picked = shows.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
+    transcripts = picked.select(
+        "doc_id",
+        F.concat(
+            F.substring(F.col("text"), 1, 120),
+            F.lit(". The host says that creatine improves memory. "),
+            F.lit("I remember a story about it. Magnesium supports deep sleep."),
+        ).alias("text"),
+    )
+    claims = extract_claims_df(transcripts).select(
+        "doc_id", "norm_key", "topic", "domain", "risk_level"
+    )
+    summaries = summarize_documents(transcripts, max_words=40, max_sentences=3).select(
+        "doc_id", "n_points"
+    )
+    cid = F.concat_ws("|", F.col("doc_id").cast("string"), F.col("norm_key"))
+    with_id = claims.withColumn("claim_id", cid)
+    # evidence linking: 3 rows per claim, type/stance from the
+    # engine-independent sha256-int64 discipline (python twin in
+    # scripts/gen_golden.py::golden_pipeline_e2e)
+    ev = with_id.select("claim_id").withColumn("e", F.explode(F.sequence(F.lit(0), F.lit(2))))
+    h = F.conv(
+        F.substring(F.sha2(F.concat_ws("#", F.col("claim_id"), F.col("e")), 256), 1, 15), 16, 10
+    ).cast("long")
+    ev = ev.select(
+        "claim_id",
+        F.element_at(
+            F.array(*[F.lit(t) for t in _PIPE_EV_TYPES]), (h % 6 + 1).cast("int")
+        ).alias("type"),
+        F.when(h % 4 == 0, F.lit("refutes")).otherwise(F.lit("supports")).alias("stance"),
+    )
+    graded = grade_claims(ev).select("claim_id", "total_support", "total_refute", "grade")
+    return (
+        with_id.join(graded, "claim_id")
+        .join(F.broadcast(summaries), "doc_id")
+        .select(
+            "doc_id", "norm_key", "topic", "domain", "risk_level",
+            "n_points", "total_support", "total_refute", "grade",
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # driver API
 # ----------------------------------------------------------------------
@@ -1692,7 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top2_orders_per_customer": q_top2_orders_per_customer,
         "customers_without_orders": q_customers_without_orders,
         "customer_order_counts": q_customer_order_counts,
-        "orders_with_nation": q_orders_with_nation,
+        "local_supplier_volume": q_local_supplier_volume,
         "search_parts": q_search_parts,
         "retry_backoff": q_retry_backoff,
         "fingerprints": q_fingerprints,
@@ -1719,7 +1801,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "rolling_fingerprint": q_rolling_fingerprint,
         "lang_id": q_lang_id,
-        "bpe_token_count": q_bpe_token_count,
         "recency_nulls_last": q_recency_nulls_last,
         "first_by_source_rank": q_first_by_source_rank,
         "semi_join_urgent": q_semi_join_urgent,
@@ -1736,7 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pubtype_classify": q_pubtype_classify,
         "extract_claims": q_extract_claims,
         "segment_transcripts": q_segment_transcripts,
-        "local_supplier_volume": q_local_supplier_volume,
+        "pipeline_e2e": q_pipeline_e2e,
     }
 
 
@@ -1748,7 +1829,7 @@ def oracle_sql() -> dict[str, str]:
         "top2_orders_per_customer": _SQL_TOP2,
         "customers_without_orders": _SQL_NO_ORDERS,
         "customer_order_counts": _SQL_ORDER_COUNTS,
-        "orders_with_nation": _SQL_ORDERS_NATION,
+        "local_supplier_volume": _SQL_LOCAL_SUPPLIER,
         "search_parts": _SQL_SEARCH_PARTS,
         "retry_backoff": _SQL_BACKOFF,
         "fingerprints": _SQL_FINGERPRINTS,
@@ -1773,7 +1854,6 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SQL_SESSIONIZE,
         "rolling_fingerprint": _SQL_ROLLING_FP,
         "lang_id": _SQL_LANG_ID,
-        "bpe_token_count": _SQL_BPE,
         "recency_nulls_last": _SQL_RECENCY,
         "first_by_source_rank": _SQL_SOURCE_RANK,
         "semi_join_urgent": _SQL_SEMI_URGENT,
@@ -1784,7 +1864,6 @@ def oracle_sql() -> dict[str, str]:
         "insert_if_absent": _SQL_INSERT_ABSENT,
         "dedup_gc": _SQL_DEDUP_GC,
         "pubtype_classify": _SQL_PUBTYPE,
-        "local_supplier_volume": _SQL_LOCAL_SUPPLIER,
         "minhash_lsh_dedup": _minhash_lsh_oracle_sql(),
         "luhn_summary": _SQL_LUHN_SUMMARY,
         "lsh_cosine_topk": _lsh_cosine_oracle_sql(),
@@ -1801,4 +1880,5 @@ def oracle_sql() -> dict[str, str]:
         "extract_claims": _golden_oracle_sql("extract_claims"),
         "summarize_docs": _golden_oracle_sql("summarize_docs"),
         "stance_classify": _golden_oracle_sql("stance_classify"),
+        "pipeline_e2e": _golden_oracle_sql("pipeline_e2e"),
     }

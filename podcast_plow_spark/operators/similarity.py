@@ -107,11 +107,14 @@ def cosine_topk_pairs(
                 a_ids = np.asarray(row.a_ids, dtype=np.int64)
                 b_ids = np.asarray(row.b_ids, dtype=np.int64)
                 sims = normed(list(row.a_vecs)) @ normed(list(row.b_vecs)).T
-                # orient pairs a_id < b_id; drop self/duplicate pairs
-                invalid = a_ids[:, None] >= b_ids[None, :]
                 if row.blk_a == row.blk_b:
-                    pass  # same block: triangle comes free from the id mask
-                sims = np.where(invalid, -np.inf, sims)
+                    # same block: ids appear on both axes, so the id mask
+                    # cuts self-pairs and picks one orientation per pair
+                    sims = np.where(a_ids[:, None] >= b_ids[None, :], -np.inf, sims)
+                # distinct blocks: EVERY cell is a unique unordered pair
+                # (block assignment is a hash, uncorrelated with id order,
+                # so the reversed orientation exists in no other combo) —
+                # keep all and canonicalize orientation at emit time
                 flat = sims.ravel()
                 kk = min(k, flat.size)
                 thresh = np.partition(flat, flat.size - kk)[flat.size - kk]
@@ -123,9 +126,9 @@ def cosine_topk_pairs(
                 if idx.size == 0:
                     continue
                 ai, bi = np.unravel_index(idx, sims.shape)
-                yield pd.DataFrame(
-                    {"a_id": a_ids[ai], "b_id": b_ids[bi], "cos_sim": flat[idx]}
-                )
+                lo = np.minimum(a_ids[ai], b_ids[bi])
+                hi = np.maximum(a_ids[ai], b_ids[bi])
+                yield pd.DataFrame({"a_id": lo, "b_id": hi, "cos_sim": flat[idx]})
 
     cand = combos.mapInPandas(cell_topk, schema="a_id long, b_id long, cos_sim double")
     return (

@@ -138,11 +138,98 @@ def golden_stance_classify() -> pa.Table:
     )
 
 
+def golden_pipeline_e2e() -> pa.Table:
+    """Sequential twin of ``__spark_entry__.q_pipeline_e2e`` — the
+    composed nightly chain (discover → top-2-per-show → transcript →
+    summarize → extract claims → deterministic evidence → grade), run
+    as a plain python loop so the distributed composition is checked
+    end-to-end against an independent execution path."""
+    import hashlib
+
+    from podcast_plow_spark.functions.summarize import iter_sentences, select_sentences
+    from podcast_plow_spark.operators.grade import (
+        META_KEYWORDS,
+        OBSERVATIONAL_KEYWORDS,
+        RCT_KEYWORDS,
+        WEAK_KEYWORDS,
+    )
+    from podcast_plow_spark.operators.segments import extract_claims
+
+    from __spark_entry__ import _PIPE_EV_TYPES
+
+    def bucket_of(ev_type: str) -> str:
+        t = (ev_type or "").strip().lower()
+        if not t:
+            return "weak"
+        for kws, b in (
+            (META_KEYWORDS, "meta"),
+            (RCT_KEYWORDS, "rct"),
+            (WEAK_KEYWORDS, "weak"),
+            (OBSERVATIONAL_KEYWORDS, "observational"),
+        ):
+            if any(kw in t for kw in kws):
+                return b
+        return "observational"
+
+    def grade_of(s: dict, r: dict) -> str:
+        total_s, total_r = sum(s.values()), sum(r.values())
+        if total_s == 0 or total_r > total_s:
+            return "unsupported"
+        if s["meta"] >= 1 or s["rct"] >= 2:
+            return "strong"
+        if s["rct"] >= 1 or s["observational"] >= 2:
+            return "moderate"
+        if s["observational"] >= 1 or s["weak"] >= 1:
+            return "weak"
+        return "unsupported"
+
+    by_show: dict[int, list[tuple[int, str]]] = {}
+    for did, text in _docs():
+        by_show.setdefault(did % 40, []).append((did, text))
+    picked: list[tuple[int, str]] = []
+    for lst in by_show.values():
+        lst.sort(key=lambda x: -x[0])
+        picked += lst[:2]
+    picked.sort()
+
+    rows = []
+    for did, text in picked:
+        synthetic = (text or "")[:120] + TRANSCRIPT_SUFFIX
+        sents = [s.text for s in iter_sentences(synthetic)] or [synthetic.strip()]
+        n_points = len(select_sentences(sents, max_words=40, max_sentences=3))
+        for c in extract_claims(synthetic):
+            cid = f"{did}|{c['norm_key']}"
+            sup = {"meta": 0, "rct": 0, "observational": 0, "weak": 0}
+            ref = {"meta": 0, "rct": 0, "observational": 0, "weak": 0}
+            for e in range(3):
+                h = int(hashlib.sha256(f"{cid}#{e}".encode()).hexdigest()[:15], 16)
+                b = bucket_of(_PIPE_EV_TYPES[h % 6])
+                (ref if h % 4 == 0 else sup)[b] += 1
+            rows.append(
+                (did, c["norm_key"], c["topic"], c["domain"], c["risk_level"],
+                 n_points, sum(sup.values()), sum(ref.values()), grade_of(sup, ref))
+            )
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "norm_key": pa.array([r[1] for r in rows], pa.string()),
+            "topic": pa.array([r[2] for r in rows], pa.string()),
+            "domain": pa.array([r[3] for r in rows], pa.string()),
+            "risk_level": pa.array([r[4] for r in rows], pa.string()),
+            "n_points": pa.array([r[5] for r in rows], pa.int32()),
+            "total_support": pa.array([r[6] for r in rows], pa.int64()),
+            "total_refute": pa.array([r[7] for r in rows], pa.int64()),
+            "grade": pa.array([r[8] for r in rows], pa.string()),
+        }
+    )
+
+
 GOLDENS = {
     "segment_transcripts": golden_segment_transcripts,
     "extract_claims": golden_extract_claims,
     "summarize_docs": golden_summarize_docs,
     "stance_classify": golden_stance_classify,
+    "pipeline_e2e": golden_pipeline_e2e,
 }
 
 

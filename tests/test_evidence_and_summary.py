@@ -237,3 +237,45 @@ class TestLuhnProperties:
             assert r == luhn_rate_sentence(mapped, {"x"})
 
         check()
+
+
+class TestStanceAlternationEquivalence:
+    """The r3 single-scan family regexes must agree (as booleans) with
+    the original per-phrase scans for every family, on adversarial
+    corpora mixing negation prefixes, overlaps, and boundaries."""
+
+    def _old_flags(self, text: str) -> tuple[int, int, int]:
+        from podcast_plow_spark.functions.evidence import (
+            MIXED_KEYWORDS,
+            NEGATIVE_KEYWORDS,
+            POSITIVE_KEYWORDS,
+        )
+
+        pos = sum(count_occurrences(text, t, ignore_negated=True) for t in POSITIVE_KEYWORDS)
+        neg = sum(count_occurrences(text, t) for t in NEGATIVE_KEYWORDS)
+        mix = sum(count_occurrences(text, t) for t in MIXED_KEYWORDS)
+        return (1 if pos else 0, 1 if neg else 0, 1 if mix else 0)
+
+    def test_equivalence_corpus(self):
+        from podcast_plow_spark.functions.evidence import _stance_counts
+
+        corpus = [
+            "",
+            "no significant improvement",
+            "did not improve outcomes",
+            "significant improvement in memory",
+            "lack of benefit but reduced risk",
+            "results were inconclusive and conflicting",
+            "increase in risk without effect",
+            "improvements are unimproved",  # boundary: no bare keyword
+            "the treatment improved sleep; no change in mood",
+            "failed to support the hypothesis",
+            "does not lower blood pressure",
+            "adverse events increased",
+            "no effect, null, harm, benefit",
+            "supports supports supports",
+            "noimprove improveno no improve",
+        ]
+        for text in corpus:
+            new = tuple(1 if v else 0 for v in _stance_counts(text))
+            assert new == self._old_flags(text), text

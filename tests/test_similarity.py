@@ -29,6 +29,17 @@ def test_brute_force_topk_shape(spark, emb):
         assert -1.0001 <= r["cos_sim"] <= 1.0001
 
 
+def test_multi_block_matches_single_block(spark, emb):
+    """ADVICE r2 (high): cross-block cells must keep EVERY pair.
+
+    block_rows=64 on the 500-row fixture forces ~8 hash-assigned
+    blocks, so most pairs live in blk_a < blk_b cells; the result must
+    be identical to the single-block (all-in-one-cell) run."""
+    multi = [tuple(r) for r in cosine_topk_pairs(spark, emb, k=40, block_rows=64).collect()]
+    single = [tuple(r) for r in cosine_topk_pairs(spark, emb, k=40, block_rows=10_000).collect()]
+    assert multi == single
+
+
 def test_lsh_candidates_recall_floor(spark, emb):
     exact = {(r["a_id"], r["b_id"]) for r in cosine_topk_pairs(spark, emb, k=10).collect()}
     lsh = {
