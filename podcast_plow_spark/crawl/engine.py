@@ -202,7 +202,7 @@ class CrawlEngine:
         # Exchange (tests/test_plans.py).
         now = (self.cfg.clock or dt.datetime.utcnow)()
         n_queued = meta.get("n_queued")
-        batch = fr.dequeue_batch_polite(
+        batch0 = fr.dequeue_batch_polite(
             frontier,
             self.cfg.batch_size,
             now,
@@ -211,8 +211,10 @@ class CrawlEngine:
             # sizing count() — one less full-frontier scan per epoch
             n_hint=int(n_queued) if n_queued is not None else None,
         ).cache()
+        batch = batch0
         n_batch = batch.count()
         if n_batch == 0:
+            batch0.unpersist()
             return False
 
         # shared kernel (functions/urls.py) — same path-based semantics
@@ -346,6 +348,7 @@ class CrawlEngine:
             meta_out["n_queued"] = max(0, int(n_queued) - n_batch + n_new)
         self.store.commit(epoch, meta_out)
         batch.unpersist()
+        batch0.unpersist()  # the dequeue-level prefix cache rides on this handle
         if new_rows is not None:
             new_rows.unpersist()
         return True

@@ -343,10 +343,14 @@ def dequeue_batch_polite(
             | ((F.col("priority") == tp) & (F.col("run_at") == F.lit(tr)) & (F.col("seq") <= ts))
         )
         # one job: take top-k of the prefix's eligible rows; it came
-        # back full ⟺ |eligible ∩ prefix| ≥ k ⟺ the take is exact
-        batch = eligible_of(prefix).orderBy(*DEQUEUE_ORDER()).limit(k).cache()
+        # back full ⟺ |eligible ∩ prefix| ≥ k ⟺ the take is exact.
+        # The cache lives on the RETURNED DataFrame (rank applied), so
+        # the caller's own handle on the result is the handle to this
+        # cache — unpersisting it frees the prefix batch (ADVICE r2:
+        # the success path used to leak one cached DF per epoch).
+        batch = finish(eligible_of(prefix).orderBy(*DEQUEUE_ORDER()).limit(k)).cache()
         if batch.count() >= k:
-            return finish(batch)
+            return batch
         batch.unpersist()
         if cut_idx >= len(sample) - 1:
             break

@@ -62,6 +62,11 @@ def parse_robots(text: str, user_agent: str) -> list[tuple[bool, str]]:
                 current_rules.append((key == "allow", val))
             elif key == "disallow":
                 pass  # empty Disallow = allow all (no rule needed)
+        elif key == "crawl-delay":
+            # a rule line for group-boundary purposes (keeps group
+            # splitting identical to parse_crawl_delay — ADVICE r2):
+            # 'UA: a / Crawl-delay / UA: b' is two groups, not one
+            saw_rule = True
     if current_agents:
         groups.append((current_agents, current_rules))
 

@@ -149,33 +149,42 @@ def fetch_stage(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         transport = _transport_for(transport_spec)
+        # Buffer the WHOLE partition before sorting: a partition split
+        # across Arrow batches could otherwise deliver a later batch
+        # with smaller offsets after `elapsed` has advanced, giving
+        # wait=0 and under-spaced fetches (ADVICE r2). A partition is
+        # one epoch-batch's slice — bounded by batch_size, not corpus
+        # size, so buffering it is safe. `elapsed` tracks scheduled
+        # offsets, not fetch duration: offsets are lower bounds on
+        # spacing, and a slow fetch only ever ADDS spacing.
+        parts = [pdf for pdf in batches if not pdf.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        if offset_col and offset_col in pdf.columns:
+            pdf = pdf.sort_values(offset_col, kind="stable")
         elapsed = 0.0  # worker-local politeness clock (epoch-relative)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            if offset_col and offset_col in pdf.columns:
-                pdf = pdf.sort_values(offset_col, kind="stable")
-            urls = pdf[url_col].tolist()
-            kinds = pdf[kind_col].tolist() if kind_col else ["html"] * len(urls)
-            offsets = pdf[offset_col].tolist() if offset_col and offset_col in pdf.columns else [0.0] * len(urls)
-            out = []
-            for url, k, off in zip(urls, kinds, offsets):
-                wait = max(0.0, float(off) - elapsed)
-                if wait > 0:
-                    if real_sleep:
-                        time.sleep(wait)
-                    elapsed = float(off)
-                res = transport.fetch(url, k)
-                out.append(
-                    {
-                        "url": url,
-                        "status": res.status,
-                        "body": res.body,
-                        "error": res.error,
-                        "waited_sec": wait,
-                    }
-                )
-            yield pd.DataFrame(out)
+        urls = pdf[url_col].tolist()
+        kinds = pdf[kind_col].tolist() if kind_col else ["html"] * len(urls)
+        offsets = pdf[offset_col].tolist() if offset_col and offset_col in pdf.columns else [0.0] * len(urls)
+        out = []
+        for url, k, off in zip(urls, kinds, offsets):
+            wait = max(0.0, float(off) - elapsed)
+            if wait > 0:
+                if real_sleep:
+                    time.sleep(wait)
+                elapsed = float(off)
+            res = transport.fetch(url, k)
+            out.append(
+                {
+                    "url": url,
+                    "status": res.status,
+                    "body": res.body,
+                    "error": res.error,
+                    "waited_sec": wait,
+                }
+            )
+        yield pd.DataFrame(out)
 
     return src.mapInPandas(
         run, schema="url string, status int, body binary, error string, waited_sec double"

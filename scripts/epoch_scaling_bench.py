@@ -52,7 +52,13 @@ def build_store(spark, n: int, root: str, npart: int) -> SnapshotStore:
     store.write_bucketed("frontier", rows, bucket_col="host_hash")
     store.append_table(
         "crawl_log",
-        spark.createDataFrame([], "epoch long, crawl_rank long, url_canon string, host string, kind string"),
+        # schema must match CrawlEngine.bootstrap exactly — the engine
+        # appends 6-column parts and read_table doesn't mergeSchema
+        spark.createDataFrame(
+            [],
+            "epoch long, crawl_rank long, url_canon string, host string, kind string, "
+            "fetch_offset_sec double",
+        ),
     )
     store.append_table(
         "lineage",

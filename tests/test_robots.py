@@ -118,3 +118,15 @@ class TestCrawlDelay:
             by_host.setdefault(r["host"], []).append(r["fetch_offset_sec"])
         assert sorted(by_host["slow.com"]) == [0.0, 4.0, 8.0]
         assert sorted(by_host["fast.com"]) == [0.0, 1.0, 2.0]
+
+
+def test_crawl_delay_terminates_group_like_a_rule():
+    """'UA: a / Crawl-delay / UA: b / Disallow' is TWO groups — agent a
+    must not inherit b's Disallow (parse_robots and parse_crawl_delay
+    must split groups identically; ADVICE r2)."""
+    body = "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /x\n"
+    assert parse_robots(body, "a-bot") == []
+    assert parse_robots(body, "b-bot") == [(False, "/x")]
+    from podcast_plow_spark.operators.politeness import parse_crawl_delay
+    assert parse_crawl_delay(body, "a-bot") == 1.0
+    assert parse_crawl_delay(body, "b-bot") is None
