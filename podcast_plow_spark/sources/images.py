@@ -62,6 +62,24 @@ IMAGE_SCHEMA = StructType(
     ]
 )
 
+# Optional real-codec backend: when Pillow is installed the engine
+# transparently gains png/jpeg support (encode_image / decode_image /
+# check_invariants); without it those formats raise the honest
+# NotImplementedError below and the deterministic stand-ins are the
+# only codecs — the Spark plumbing is identical either way.
+try:  # pragma: no cover - exercised only where Pillow exists
+    import io as _io
+
+    from PIL import Image as _PILImage
+
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover
+    _io = None
+    _PILImage = None
+    _HAS_PIL = False
+
+_REAL_FMTS = ("png", "jpeg")
+
 _QUANT = 4
 _CAPTION_WORDS = (
     "sunset", "harbor", "forest", "skyline", "river", "meadow", "market",
@@ -85,19 +103,35 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "qjpg":
         q = (pixels.astype(np.int32) // _QUANT * _QUANT + _QUANT // 2).clip(0, 255).astype(np.uint8)
         return q.tobytes()
+    if fmt in _REAL_FMTS:
+        if not _HAS_PIL:
+            raise NotImplementedError(
+                f"fmt {fmt!r}: install Pillow for real codecs; this "
+                "container has none, so only the deterministic "
+                "stand-ins (raw/qjpg) are available."
+            )
+        buf = _io.BytesIO()
+        _PILImage.fromarray(pixels, "RGB").save(
+            buf, format="PNG" if fmt == "png" else "JPEG", quality=95
+        )
+        return buf.getvalue()
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
 def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
-    """Decode to an (h, w, 3) uint8 array. Both stand-in formats store
-    the (possibly quantized) pixel array directly."""
-    if fmt not in ("raw", "qjpg"):
-        raise NotImplementedError(
-            f"fmt {fmt!r}: real codecs (jpeg/png/webp) need an image "
-            "library not present in this container; the Spark plumbing "
-            "(schema, batching, invariant) is identical."
-        )
-    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    """Decode to an (h, w, 3) uint8 array. The stand-in formats store
+    the (possibly quantized) pixel array directly; png/jpeg decode via
+    Pillow when installed."""
+    if fmt in ("raw", "qjpg"):
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    if fmt in _REAL_FMTS and _HAS_PIL:
+        img = _PILImage.open(_io.BytesIO(data)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+    raise NotImplementedError(
+        f"fmt {fmt!r}: real codecs (jpeg/png/webp) need an image "
+        "library not present in this container; the Spark plumbing "
+        "(schema, batching, invariant) is identical."
+    )
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -210,10 +244,13 @@ def check_invariants(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
             blen = np.fromiter(
                 (len(b) if b is not None else -1 for b in pdf["bytes"]), dtype=np.int64, count=m
             )
-            valid = (
-                pdf["fmt"].isin(("raw", "qjpg")).to_numpy()
-                & (ns >= 0)
-                & (blen == w_arr * h_arr * 3)
+            fmts = pdf["fmt"].to_numpy(dtype=object)
+            standin = pdf["fmt"].isin(("raw", "qjpg")).to_numpy()
+            real = pdf["fmt"].isin(_REAL_FMTS).to_numpy() & _HAS_PIL
+            # exact-length check applies to the fixed-size stand-ins
+            # only; compressed formats just need a non-empty blob
+            valid = (ns >= 0) & (
+                (standin & (blen == w_arr * h_arr * 3)) | (real & (blen > 0))
             )
             psnr_db = np.full(m, -1.0)
             cap_ok = np.zeros(m, dtype=bool)
@@ -224,9 +261,16 @@ def check_invariants(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
             for w, h in {(int(a), int(b)) for a, b in zip(w_arr[valid], h_arr[valid])}:
                 idxs = np.nonzero(valid & (w_arr == w) & (h_arr == h))[0]
                 ref = pixels_batch(ns[idxs], w, h)
-                dec = np.stack(
-                    [np.frombuffer(byts[i], dtype=np.uint8).reshape(h, w, 3) for i in idxs]
-                )
+                def dec_one(i: int) -> np.ndarray:
+                    if standin[i]:
+                        return np.frombuffer(byts[i], dtype=np.uint8).reshape(h, w, 3)
+                    try:  # corrupt compressed blob fails its row only
+                        px = decode_image(byts[i], fmts[i], w, h)
+                        return px if px.shape == (h, w, 3) else np.zeros((h, w, 3), np.uint8)
+                    except Exception:  # noqa: BLE001
+                        return np.zeros((h, w, 3), np.uint8)
+
+                dec = np.stack([dec_one(i) for i in idxs])
                 psnr_db[idxs] = np.minimum(psnr_batch(ref, dec), 1e6)
                 ph_ok[idxs] = phashes[idxs] == phash64_batch(ref)
                 cap_ok[idxs] = [captions[i] == _caption_for(int(ns[i])) for i in idxs]

