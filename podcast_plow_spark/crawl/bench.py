@@ -80,7 +80,12 @@ def _decode_psnr_stage(batch):
     # memory-bandwidth-bound on this single box: every parallelism
     # level saturated the one bus and throughput went flat — real
     # clusters scale by nodes, each with its own bus.)
-    W, H, CHUNK = 32, 24, 512
+    # CHUNK=64: the quantize ladder materializes an int32 copy of the
+    # chunk per level; at 512 rows that's a ~4.7 MB intermediate (L2
+    # spill → shared-bus traffic — measured 2.68× 8→32-proc scaling),
+    # at 64 rows ~0.6 MB stays cache-resident (3.11× scaling, +30%
+    # absolute at 32 procs; /tmp-style contention scan, r3)
+    W, H, CHUNK = 32, 24, 64
     QUALITY = (2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32)
 
     def stage(batches):
@@ -178,9 +183,16 @@ def frontier_throughput(
         fresh = synthetic_frontier(spark, k, partitions, salt=salt).withColumn(
             "url_canon", canonicalize_url_udf(F.col("url"))
         ).withColumn("fingerprint", F.sha2(F.col("url_canon"), 256))
-        unseen, _stats = seen_filter_exact(fresh, seen, bloom)
+        # cache_registry: the canonicalize+probe python stages would
+        # otherwise re-run for each broadcast subjob (maybe_keys, hits)
+        # and again in the main job — measured ~30% of the epoch
+        caches: list = []
+        unseen, _stats = seen_filter_exact(fresh, seen, bloom, cache_registry=caches)
         new_rows = fr.enqueue(unseen, epoch=1, num_partitions=partitions, seq_base=n_urls, seq_mode="keyed")
-        return n_batch, new_rows.count()
+        n_new = new_rows.count()
+        for h in caches:
+            h.unpersist()
+        return n_batch, n_new
 
     if warmup:
         run_epoch(salt=n_urls // 3)

@@ -259,6 +259,7 @@ class CrawlEngine:
         new_rows = None
         n_new = 0
         stats = None
+        epoch_caches: list = []
         if n_feeds:
             feed_batch = batch.where(F.col("kind") == "feed").select(
                 F.col("url_canon").alias("url"), "seq"
@@ -285,7 +286,11 @@ class CrawlEngine:
                         bits_per_item=self.cfg.bloom_bits_per_item,
                     )
                 bloom = self._bloom
-            unseen, stats = seen_filter_exact(cand, seen, bloom, "url_canon", measure_fpr=self.cfg.use_bloom)
+            unseen, stats = seen_filter_exact(
+                cand, seen, bloom, "url_canon",
+                measure_fpr=self.cfg.use_bloom,
+                cache_registry=epoch_caches,
+            )
 
             # --- enqueue (deterministic seq continues from next_seq)
             new_rows = fr.enqueue(
@@ -349,6 +354,8 @@ class CrawlEngine:
         self.store.commit(epoch, meta_out)
         batch.unpersist()
         batch0.unpersist()  # the dequeue-level prefix cache rides on this handle
+        for h in epoch_caches:  # probed-candidates cache from the seen filter
+            h.unpersist()
         if new_rows is not None:
             new_rows.unpersist()
         return True

@@ -311,6 +311,39 @@ def dequeue_batch_polite(
             .drop("__hr")
         )
 
+    def take_k(elig: DataFrame) -> DataFrame:
+        """Top-k of the eligible rows in canonical order.
+
+        ``with_rank`` needs a totally-ordered batch anyway, so the
+        plain TakeOrdered is right. Without it, only the top-k SET is
+        needed, and ``orderBy().limit(k)`` would be a driver-side
+        merge of partitions×k FULL rows feeding a single-partition
+        output into the next stage. Instead: find the k-th order key
+        with a NARROW (3-column) TakeOrdered + one-row agg, then cut
+        the batch as a distributed threshold filter — the driver
+        handles 3-field keys only and the batch stays partitioned.
+        Exact because (priority, run_at, seq) is a total order (seq
+        unique); returns all |elig| rows when |elig| < k, exactly as
+        the TakeOrdered form does."""
+        if with_rank:
+            return elig.orderBy(*DEQUEUE_ORDER()).limit(k)
+        nkey = [(-F.col("priority")).alias("__p"), F.col("run_at").alias("__r"), F.col("seq").alias("__s")]
+        kth = (
+            elig.select(*nkey)
+            .orderBy("__p", "__r", "__s")
+            .limit(k)
+            .agg(F.max(F.struct("__p", "__r", "__s")).alias("m"))
+            .collect()[0]["m"]
+        )
+        if kth is None:
+            return elig.where(F.lit(False))
+        thresh = F.struct(
+            F.lit(kth["__p"]).alias("__p"),
+            F.lit(kth["__r"]).cast("timestamp").alias("__r"),
+            F.lit(kth["__s"]).alias("__s"),
+        )
+        return elig.where(F.struct(*nkey) <= thresh)
+
     def finish(batch: DataFrame) -> DataFrame:
         if with_rank:
             w = Window.orderBy(*DEQUEUE_ORDER())
@@ -320,7 +353,7 @@ def dequeue_batch_polite(
     n = n_hint if n_hint is not None else df.count()
     cutoff = small_n_cutoff if small_n_cutoff is not None else max(k * 4, 100_000)
     if n <= cutoff:
-        return finish(eligible_of(df).orderBy(*DEQUEUE_ORDER()).limit(k))
+        return finish(take_k(eligible_of(df)))
 
     sample = (
         df.select("priority", "run_at", "seq")
@@ -328,7 +361,7 @@ def dequeue_batch_polite(
         .collect()
     )
     if not sample:
-        return finish(eligible_of(df).orderBy(*DEQUEUE_ORDER()).limit(k))
+        return finish(take_k(eligible_of(df)))
     sample.sort(key=lambda r: (-r["priority"], r["run_at"], r["seq"]))
 
     frac = (k / n) * safety
@@ -348,14 +381,14 @@ def dequeue_batch_polite(
         # the caller's own handle on the result is the handle to this
         # cache — unpersisting it frees the prefix batch (ADVICE r2:
         # the success path used to leak one cached DF per epoch).
-        batch = finish(eligible_of(prefix).orderBy(*DEQUEUE_ORDER()).limit(k)).cache()
+        batch = finish(take_k(eligible_of(prefix))).cache()
         if batch.count() >= k:
             return batch
         batch.unpersist()
         if cut_idx >= len(sample) - 1:
             break
         frac *= 4.0
-    return finish(eligible_of(df).orderBy(*DEQUEUE_ORDER()).limit(k))
+    return finish(take_k(eligible_of(df)))
 
 
 def _status_merge(frontier: DataFrame, updates: DataFrame, new_status: str, **set_cols: Column) -> DataFrame:

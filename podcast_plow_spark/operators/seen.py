@@ -176,6 +176,7 @@ def seen_filter_exact(
     bloom: BloomFilter | None = None,
     key_col: str = "url_canon",
     measure_fpr: bool = False,
+    cache_registry: "list[DataFrame] | None" = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Returns (unseen_candidates, fpr_stats-or-None).
 
@@ -184,6 +185,13 @@ def seen_filter_exact(
     bloom_pos, false_pos) stats for lineage are computed — this runs
     extra actions, so it's opt-in (the engine turns it on; the
     throughput bench leaves it off). With no bloom, plain anti-join.
+
+    ``cache_registry``: when given, the probed-candidates DataFrame is
+    cached and the handle appended for the CALLER to unpersist after
+    materializing the result. Without it, the broadcast subjobs
+    (maybe_keys, hits) and the main job each re-evaluate the candidate
+    subtree — for UDF-synthesized candidates that's the canonicalize +
+    probe python stages run 3×, a measured ~30% of the epoch.
     """
     if seen is None or bloom is None:
         if seen is None:
@@ -193,8 +201,10 @@ def seen_filter_exact(
         return unseen, None
 
     probed = probe_bloom(candidates, bloom, key_col)
-    if measure_fpr:
+    if measure_fpr or cache_registry is not None:
         probed = probed.cache()
+        if cache_registry is not None:
+            cache_registry.append(probed)
     definite_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
     # Exact backstop WITHOUT shuffling the (huge) seen side: the Bloom
