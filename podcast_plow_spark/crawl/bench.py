@@ -197,10 +197,14 @@ def frontier_throughput(
     if warmup:
         run_epoch(salt=n_urls // 3)
 
-    # best-of-3: the sandbox VM's clock/steal variance is large; peak
-    # steady-state throughput is the stable statistic
+    # best-of-N (default 3): the sandbox VM's clock/steal variance is
+    # large; peak steady-state throughput is the stable statistic.
+    # SPARK_GRAFT_EPOCH_REPS trims reps for long multi-pair sessions.
+    import os as _os
+
+    reps = int(_os.environ.get("SPARK_GRAFT_EPOCH_REPS", "3"))
     best = 0.0
-    for i in range(3):
+    for i in range(reps):
         t0 = time.perf_counter()
         n_batch, _ = run_epoch(salt=n_urls // 2 + i * n_urls)
         dt_sec = time.perf_counter() - t0

@@ -87,6 +87,18 @@ class BloomFilter:
         assert self.n_blocks == other.n_blocks and self.k == other.k
         return BloomFilter(self.n_blocks, self.k, self.words | other.words)
 
+    def broadcast_on(self, spark) -> "object":
+        """Memoized Spark broadcast of this filter's payload — probing
+        every epoch against an unchanged filter re-ships megabytes of
+        bit array otherwise (a flat, serial per-epoch cost). The words
+        array is treated as immutable once broadcast (mutating builders
+        use add_many BEFORE any probe; merge() returns a NEW object)."""
+        bc = getattr(self, "_bc", None)
+        if bc is None:
+            bc = spark.sparkContext.broadcast((self.n_blocks, self.k, self.words))
+            self._bc = bc
+        return bc
+
 
 def _key_col(col: str) -> F.Column:
     """int64 key from a string column — first 15 sha256 hex chars
@@ -150,7 +162,7 @@ def probe_bloom(candidates: DataFrame, bloom: BloomFilter, key_col: str = "url_c
     spark = candidates.sparkSession
     from pyspark.sql.types import BooleanType, StructField, StructType
 
-    bc = spark.sparkContext.broadcast((bloom.n_blocks, bloom.k, bloom.words))
+    bc = bloom.broadcast_on(spark)
     # the int64 key is computed JVM-side (sha2+conv) so the Python stage
     # is pure numpy bit-probing over the Arrow batch
     keyed = candidates.withColumn("__bloom_key", _key_col(key_col))
