@@ -351,7 +351,12 @@ def dequeue_batch_polite(
         return batch
 
     n = n_hint if n_hint is not None else df.count()
-    cutoff = small_n_cutoff if small_n_cutoff is not None else max(k * 4, 100_000)
+    # Sampled-prefix path engages once the frontier is ≥2× the batch:
+    # the prefix it windows is ~k·safety rows vs the exact path's n,
+    # and the extra sample+materialize jobs amortize from there. (The
+    # old k*4 cutoff silently forced the exact full-window path for
+    # any batch ≥ n/4 — including the throughput bench's n/4 batch.)
+    cutoff = small_n_cutoff if small_n_cutoff is not None else max(k * 2, 100_000)
     if n <= cutoff:
         return finish(take_k(eligible_of(df)))
 
@@ -375,14 +380,22 @@ def dequeue_batch_polite(
             | ((F.col("priority") == tp) & (F.col("run_at") < F.lit(tr)))
             | ((F.col("priority") == tp) & (F.col("run_at") == F.lit(tr)) & (F.col("seq") <= ts))
         )
-        # one job: take top-k of the prefix's eligible rows; it came
-        # back full ⟺ |eligible ∩ prefix| ≥ k ⟺ the take is exact.
-        # The cache lives on the RETURNED DataFrame (rank applied), so
-        # the caller's own handle on the result is the handle to this
-        # cache — unpersisting it frees the prefix batch (ADVICE r2:
-        # the success path used to leak one cached DF per epoch).
-        batch = finish(take_k(eligible_of(prefix))).cache()
-        if batch.count() >= k:
+        # ONE frontier scan per attempt: the prefix's eligible rows
+        # are cached, so the k-th-key probe (whose collect also
+        # materializes that cache), the threshold cut, and the
+        # sufficiency count all touch the ~k·safety-row cache instead
+        # of rescanning + re-windowing the full frontier (was: two
+        # full scans + two per-host windows per epoch). The prefix
+        # cache is released before returning; the RETURNED batch
+        # carries its own cache, so the caller's handle frees
+        # everything (ADVICE r2: the success path used to leak one
+        # cached DF per epoch). |top-k| == k ⟺ |eligible ∩ prefix|
+        # ≥ k ⟺ the take is exact.
+        elig = eligible_of(prefix).cache()
+        batch = finish(take_k(elig)).cache()
+        ok = batch.count() >= k
+        elig.unpersist()
+        if ok:
             return batch
         batch.unpersist()
         if cut_idx >= len(sample) - 1:

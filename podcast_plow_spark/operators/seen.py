@@ -158,28 +158,29 @@ def build_bloom(
 
 def probe_bloom(candidates: DataFrame, bloom: BloomFilter, key_col: str = "url_canon") -> DataFrame:
     """Adds ``maybe_seen`` (bloom positive). Definite negatives skip the
-    exact join entirely."""
+    exact join entirely.
+
+    The Python stage is a SCALAR pandas UDF over the int64 key column
+    only: Arrow moves one long column in and one boolean out, instead
+    of round-tripping every candidate column through Python (the old
+    mapInPandas form serialized the full wide row both ways — ~8× the
+    Arrow bytes for a one-column computation). The key itself is
+    computed JVM-side (sha2+conv), so Python work is pure numpy
+    bit-probing."""
     spark = candidates.sparkSession
-    from pyspark.sql.types import BooleanType, StructField, StructType
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
 
     bc = bloom.broadcast_on(spark)
-    # the int64 key is computed JVM-side (sha2+conv) so the Python stage
-    # is pure numpy bit-probing over the Arrow batch
-    keyed = candidates.withColumn("__bloom_key", _key_col(key_col))
-    out_schema = StructType(
-        list(candidates.schema.fields) + [StructField("maybe_seen", BooleanType())]
-    )
 
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    @pandas_udf(BooleanType())
+    def probe(keys: pd.Series) -> pd.Series:
         n_blocks, k, words = bc.value
         bf = BloomFilter(n_blocks, k, words)
-        for pdf in batches:
-            keys = pdf["__bloom_key"].to_numpy(dtype=np.int64).astype(np.uint64) % np.uint64(2**63)
-            pdf = pdf.drop(columns=["__bloom_key"])
-            pdf["maybe_seen"] = bf.contains_many(keys)
-            yield pdf
+        ks = keys.to_numpy(dtype=np.int64).astype(np.uint64) % np.uint64(2**63)
+        return pd.Series(bf.contains_many(ks))
 
-    return keyed.mapInPandas(probe, schema=out_schema)
+    return candidates.withColumn("maybe_seen", probe(_key_col(key_col)))
 
 
 def seen_filter_exact(
@@ -215,6 +216,14 @@ def seen_filter_exact(
     probed = probe_bloom(candidates, bloom, key_col)
     if measure_fpr or cache_registry is not None:
         probed = probed.cache()
+        # Materialize NOW: the maybe_keys/hits broadcast exchanges
+        # below execute as concurrent async subjobs of the caller's
+        # action, and Spark cache fills are not locked — racing
+        # readers of a cold cache each recompute the full candidate
+        # subtree (canonicalize + probe UDFs ran 2× per epoch,
+        # verified in SQL-node metrics). One narrow count here pins
+        # the cache before any branch can race.
+        probed.count()
         if cache_registry is not None:
             cache_registry.append(probed)
     definite_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")

@@ -60,6 +60,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
+    # Shuffle/spill to tmpfs when available: this VM's virtualized
+    # disk makes shuffle-block commits pathologically slow (measured
+    # 84 s of cumulative shuffle-write time for a 16 MiB exchange —
+    # file create/sync latency, not bandwidth). Production clusters
+    # put spark.local.dir on NVMe or use an external shuffle service;
+    # RAM-backed local dirs are the single-box equivalent. Override
+    # with SPARK_GRAFT_LOCAL_DIR (e.g. to exercise the disk path).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -57,6 +57,92 @@ class TestCanonicalizeUrl:
         assert canonicalize_url(once) == once
 
 
+class TestCanonicalizeFastPath:
+    """The vectorized fixpoint fast path (_FAST_CANON_RE) must accept
+    ONLY strings the canonicalizer maps to themselves — otherwise the
+    UDF would silently skip a rewrite."""
+
+    def _series(self, urls):
+        import pandas as pd
+
+        from podcast_plow_spark.functions.urls import _canonicalize_series
+
+        return _canonicalize_series(pd.Series(urls, dtype=object))
+
+    def test_fast_members_are_fixpoints_hypothesis(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from podcast_plow_spark.functions.urls import _FAST_CANON_RE
+
+        seg_chars = "abcXYZ09._~!$&'()*+,=:@-"
+        host_label = st.text(alphabet="abz09-", min_size=1, max_size=6)
+        seg = st.text(alphabet=seg_chars, min_size=1, max_size=8)
+        urls = st.builds(
+            lambda scheme, labels, segs, slash: scheme
+            + "://"
+            + ".".join(labels)
+            + "".join("/" + s for s in segs)
+            + ("/" if slash else ""),
+            st.sampled_from(["http", "https"]),
+            st.lists(host_label, min_size=1, max_size=3),
+            st.lists(seg, min_size=0, max_size=4),
+            st.booleans(),
+        )
+
+        @given(urls)
+        @settings(max_examples=300, deadline=None)
+        def check(u):
+            if _FAST_CANON_RE.fullmatch(u):
+                assert canonicalize_url(u) == u
+
+        check()
+
+    def test_series_matches_per_row_map_on_mixed_corpus(self):
+        corpus = [
+            "https://a.com/x",  # fast
+            "https://hot.example.com/images/img-0000000042",  # fast (bench shape)
+            "https://a.com/x/",  # fast, trailing slash
+            "HTTP://ExAmPle.COM/Path",  # slow: case fold
+            "https://a.com/x?utm_source=tw&id=3",  # slow: query
+            "https://a.com:443/x",  # slow: default port
+            "https://a.com./x",  # slow: trailing host dot
+            "https://user@a.com/x",  # slow: userinfo
+            "https://a.com//x///y",  # slow: slash collapse
+            "https://a.com/%7Euser",  # slow: percent decode
+            "https://a.com/x#frag",  # slow: fragment
+            "https://a.com/x;p=1",  # slow: params
+            "https://a.com",  # slow: empty path
+            "//cdn.a.com/i.png",  # slow: scheme-relative
+            None,
+            "   ",
+        ]
+        got = list(self._series(corpus))
+        want = [canonicalize_url(u) for u in corpus]
+        assert got == want
+
+    def test_boundary_strings_route_slow(self):
+        """Strings one edit away from canonical must NOT match the
+        fast pattern (each needs a rewrite)."""
+        from podcast_plow_spark.functions.urls import _FAST_CANON_RE
+
+        for u in [
+            "https://A.com/x",
+            "https://a.com:80/x",
+            "https://a.com./",
+            "https://a..com/x",
+            "https://a.com//x",
+            "https://a.com/x%41",
+            "https://a.com/x?q=1",
+            "https://a.com/x#f",
+            "https://a.com/x;y",
+            "https://a.com",
+            "ftp://a.com/x",
+            "https:///x",
+        ]:
+            assert not _FAST_CANON_RE.fullmatch(u), u
+
+
 class TestYoutubeKernel:
     # parity scenarios vs reference server/ingest/youtube.py:18-89
     def test_watch_url(self):
