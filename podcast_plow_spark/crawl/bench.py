@@ -33,7 +33,7 @@ from podcast_plow_spark.operators import frontier as fr
 from podcast_plow_spark.operators.politeness import schedule_fetches
 from podcast_plow_spark.operators.seen import build_bloom, seen_filter_exact
 
-__all__ = ["synthetic_frontier", "frontier_throughput"]
+__all__ = ["synthetic_frontier", "frontier_throughput", "kernel_control"]
 
 
 def synthetic_frontier(spark: SparkSession, n: int, partitions: int = 64, salt: int = 0):
@@ -70,13 +70,14 @@ def _decode_psnr_stage(batch):
     from podcast_plow_spark.sources.images import phash64_batch, pixels_batch, psnr_batch
 
     # 32×24 px, multi-quality roundtrip: the per-URL CPU budget
-    # (~1.5 ms single-threaded — decode + 24-level quantize ladder +
+    # (~2.2 ms single-threaded — decode + 44-level quantize ladder +
     # PSNR + phash per level) approximates real fetch-side processing
     # while the ~2 KB working set stays cache-resident. Real image
     # decodes (jpeg/webp at web sizes) cost 2-10 ms/image before any
     # variant/thumbnail/multi-hash work — this stand-in still
-    # UNDERWEIGHTS per-URL CPU by ~2-6×, so the orchestration share
-    # measured here remains an upper bound on production's. (A 96×72
+    # still sits at the LOW END of real per-image decode cost, so the
+    # orchestration share measured here remains an upper bound on
+    # production's. (A 96×72
     # variant was measured memory-bandwidth-bound on this single box:
     # every parallelism level saturated the one bus and throughput
     # went flat — real clusters scale by nodes, each with its own
@@ -89,8 +90,10 @@ def _decode_psnr_stage(batch):
     # absolute at 32 procs; /tmp-style contention scan, r3)
     W, H, CHUNK = 32, 24, 64
     QUALITY = (
-        2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14,
-        16, 18, 20, 22, 24, 26, 28, 30, 32, 36, 40, 48,
+        2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,
+        14, 15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 25,
+        26, 27, 28, 29, 30, 31, 32, 34, 36, 38, 40, 44,
+        48, 56, 64, 80, 96, 112, 120, 128,
     )
 
     def stage(batches):
@@ -161,6 +164,7 @@ def frontier_throughput(
         # the ~k·safety-row prefix, never the full frontier — round 1
         # windowed all N rows here, a memory-bandwidth-flat stage that
         # capped single-box scaling
+        dq_caches: list = []
         dequeued = fr.dequeue_batch_polite(
             frontier,
             k,
@@ -169,6 +173,7 @@ def frontier_throughput(
             n_hint=n_urls,
             safety=1.3,
             with_rank=False,
+            cache_registry=dq_caches,
         )
         # narrow to the columns the schedule + decode actually use —
         # the two downstream shuffles then move 3 short columns, not
@@ -183,10 +188,12 @@ def frontier_throughput(
         processed = _decode_psnr_stage(batch.repartition(partitions))
         n_batch = processed.where(F.col("invariant_ok")).count()
         assert n_batch == k, f"invariant failed for {k - n_batch} rows"
-        # the sampled-prefix dequeue returns its batch cached (the
-        # decode query above read it from memory instead of re-running
-        # the prefix window); release it before the next epoch
-        dequeued.unpersist()
+        # the decode query above read the dequeue's eligible-prefix
+        # cache (registry mode: the batch is a lazy cut over it, no
+        # second cache, no extra count job); release it for the next
+        # epoch
+        for h in dq_caches:
+            h.unpersist()
 
         # seen-filter fresh candidates against the frontier
         fresh = synthetic_frontier(spark, k, partitions, salt=salt).withColumn(
@@ -231,6 +238,37 @@ def frontier_throughput(
     return best
 
 
+def kernel_control(spark, n: int = 250_000, partitions: int = 128, reps: int = 2) -> float:
+    """Same-kernel ceiling measured IN-PROCESS: the crawl's dominant
+    stage (the decode kernel) run zero-shuffle over a trivially
+    parallel cached input, in the SAME JVM/python-worker pool as the
+    epochs it brackets. This VM's throughput is bimodal PER PROCESS
+    (identical back-to-back JVMs differ up to ~2×), so a ceiling
+    measured in a separate process can be in a different mode than the
+    job it normalizes — the in-process control makes each process's
+    (epoch throughput, ceiling) pair mode-matched, and the pairwise
+    normalized efficiency cancels the mode."""
+    base = (
+        spark.range(0, n, 1, partitions)
+        .select(
+            F.concat(
+                F.lit("https://h/images/img-"), F.lpad(F.col("id").cast("string"), 10, "0")
+            ).alias("url_canon")
+        )
+        .cache()
+    )
+    base.count()
+    _decode_psnr_stage(base).where(F.col("invariant_ok")).count()  # warm
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _decode_psnr_stage(base).where(F.col("invariant_ok")).count()
+        d = time.perf_counter() - t0
+        best = d if best is None else min(best, d)
+    base.unpersist()
+    return best
+
+
 if __name__ == "__main__":
     import json
     import os
@@ -244,5 +282,8 @@ if __name__ == "__main__":
     spark = get_spark(app_name=f"frontier-bench-{cores}", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
     tput = frontier_throughput(spark, n_urls=n)
-    print(json.dumps({"cores": cores, "n_urls": n, "urls_per_sec": round(tput, 1)}))
+    out = {"cores": cores, "n_urls": n, "urls_per_sec": round(tput, 1)}
+    if os.environ.get("SPARK_GRAFT_INPROC_CONTROL", "0") == "1":
+        out["kernel_control_sec"] = round(kernel_control(spark, max(1, n // 4)), 2)
+    print(json.dumps(out))
     spark.stop()

@@ -202,6 +202,7 @@ class CrawlEngine:
         # Exchange (tests/test_plans.py).
         now = (self.cfg.clock or dt.datetime.utcnow)()
         n_queued = meta.get("n_queued")
+        epoch_caches: list = []
         batch0 = fr.dequeue_batch_polite(
             frontier,
             self.cfg.batch_size,
@@ -210,11 +211,14 @@ class CrawlEngine:
             # exact queued-count tracked across epochs replaces the
             # sizing count() — one less full-frontier scan per epoch
             n_hint=int(n_queued) if n_queued is not None else None,
+            cache_registry=epoch_caches,
         ).cache()
         batch = batch0
         n_batch = batch.count()
         if n_batch == 0:
             batch0.unpersist()
+            for h in epoch_caches:
+                h.unpersist()
             return False
 
         # shared kernel (functions/urls.py) — same path-based semantics
@@ -259,7 +263,6 @@ class CrawlEngine:
         new_rows = None
         n_new = 0
         stats = None
-        epoch_caches: list = []
         if n_feeds:
             feed_batch = batch.where(F.col("kind") == "feed").select(
                 F.col("url_canon").alias("url"), "seq"
@@ -353,8 +356,9 @@ class CrawlEngine:
             meta_out["n_queued"] = max(0, int(n_queued) - n_batch + n_new)
         self.store.commit(epoch, meta_out)
         batch.unpersist()
-        batch0.unpersist()  # the dequeue-level prefix cache rides on this handle
-        for h in epoch_caches:  # probed-candidates cache from the seen filter
+        batch0.unpersist()
+        # dequeue prefix/batch caches + the seen filter's probed cache
+        for h in epoch_caches:
             h.unpersist()
         if new_rows is not None:
             new_rows.unpersist()

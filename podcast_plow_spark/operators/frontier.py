@@ -263,6 +263,7 @@ def dequeue_batch_polite(
     max_widen: int = 3,
     with_rank: bool = True,
     n_hint: int | None = None,
+    cache_registry: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Politeness-capped top-K dequeue — the epoch-loop primitive.
 
@@ -297,9 +298,20 @@ def dequeue_batch_polite(
     Correctness never depends on the hint: it only picks the sampling
     fraction and code path; an undershot prefix still widens/falls
     back exactly. Per epoch this function then runs exactly TWO
-    frontier-scanning jobs in the common case: the threshold sample
-    and the prefix batch take (the sufficiency check |top-k| == k is
-    read off the taken batch itself, not a separate count).
+    frontier-scanning jobs in the common case: the threshold sample,
+    and ONE job that materializes the eligible-prefix cache AND
+    returns (k-th order key, rows seen by the k-limited probe) — the
+    count doubling as the sufficiency check, fused into the same
+    aggregate.
+
+    ``cache_registry``: when given (and the sampled path engages), the
+    eligible-prefix cache handle is appended for the CALLER to
+    unpersist after it has materialized whatever it derives from the
+    batch; the returned batch is then a lazy threshold cut over that
+    cache (no second cache, no extra count job). Without it the
+    function is self-contained exactly as before: the returned batch
+    carries its own materialized cache and the prefix cache is
+    released before returning.
     """
     df = runnable(frontier, now)
     w_host = Window.partitionBy("host").orderBy(*DEQUEUE_ORDER())
@@ -311,8 +323,12 @@ def dequeue_batch_polite(
             .drop("__hr")
         )
 
-    def take_k(elig: DataFrame) -> DataFrame:
-        """Top-k of the eligible rows in canonical order.
+    def take_k(elig: DataFrame) -> "tuple[DataFrame, int | None]":
+        """Top-k of the eligible rows in canonical order; also returns
+        how many rows the k-limited probe saw (== k ⟺ |elig| ≥ k —
+        the sufficiency check fused into the probe's aggregate, no
+        separate count job), or None on the ``with_rank`` path (which
+        runs no probe).
 
         ``with_rank`` needs a totally-ordered batch anyway, so the
         plain TakeOrdered is right. Without it, only the top-k SET is
@@ -326,23 +342,27 @@ def dequeue_batch_polite(
         unique); returns all |elig| rows when |elig| < k, exactly as
         the TakeOrdered form does."""
         if with_rank:
-            return elig.orderBy(*DEQUEUE_ORDER()).limit(k)
+            return elig.orderBy(*DEQUEUE_ORDER()).limit(k), None
         nkey = [(-F.col("priority")).alias("__p"), F.col("run_at").alias("__r"), F.col("seq").alias("__s")]
-        kth = (
+        row = (
             elig.select(*nkey)
             .orderBy("__p", "__r", "__s")
             .limit(k)
-            .agg(F.max(F.struct("__p", "__r", "__s")).alias("m"))
-            .collect()[0]["m"]
+            .agg(
+                F.max(F.struct("__p", "__r", "__s")).alias("m"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .collect()[0]
         )
+        kth, took = row["m"], int(row["c"])
         if kth is None:
-            return elig.where(F.lit(False))
+            return elig.where(F.lit(False)), took
         thresh = F.struct(
             F.lit(kth["__p"]).alias("__p"),
             F.lit(kth["__r"]).cast("timestamp").alias("__r"),
             F.lit(kth["__s"]).alias("__s"),
         )
-        return elig.where(F.struct(*nkey) <= thresh)
+        return elig.where(F.struct(*nkey) <= thresh), took
 
     def finish(batch: DataFrame) -> DataFrame:
         if with_rank:
@@ -358,7 +378,7 @@ def dequeue_batch_polite(
     # any batch ≥ n/4 — including the throughput bench's n/4 batch.)
     cutoff = small_n_cutoff if small_n_cutoff is not None else max(k * 2, 100_000)
     if n <= cutoff:
-        return finish(take_k(eligible_of(df)))
+        return finish(take_k(eligible_of(df))[0])
 
     sample = (
         df.select("priority", "run_at", "seq")
@@ -366,7 +386,7 @@ def dequeue_batch_polite(
         .collect()
     )
     if not sample:
-        return finish(take_k(eligible_of(df)))
+        return finish(take_k(eligible_of(df))[0])
     sample.sort(key=lambda r: (-r["priority"], r["run_at"], r["seq"]))
 
     frac = (k / n) * safety
@@ -382,26 +402,44 @@ def dequeue_batch_polite(
         )
         # ONE frontier scan per attempt: the prefix's eligible rows
         # are cached, so the k-th-key probe (whose collect also
-        # materializes that cache), the threshold cut, and the
-        # sufficiency count all touch the ~k·safety-row cache instead
-        # of rescanning + re-windowing the full frontier (was: two
-        # full scans + two per-host windows per epoch). The prefix
-        # cache is released before returning; the RETURNED batch
-        # carries its own cache, so the caller's handle frees
-        # everything (ADVICE r2: the success path used to leak one
-        # cached DF per epoch). |top-k| == k ⟺ |eligible ∩ prefix|
-        # ≥ k ⟺ the take is exact.
+        # materializes that cache and carries the fused sufficiency
+        # count) and the threshold cut touch the ~k·safety-row cache
+        # instead of rescanning + re-windowing the full frontier
+        # (was: two full scans + two per-host windows per epoch).
+        # probe-took == k ⟺ |eligible ∩ prefix| ≥ k ⟺ the take is
+        # exact.
         elig = eligible_of(prefix).cache()
-        batch = finish(take_k(elig)).cache()
-        ok = batch.count() >= k
+        cut, took = take_k(elig)
+        sufficient = (took >= k) if took is not None else None
+        if sufficient is False:
+            elig.unpersist()
+            if cut_idx >= len(sample) - 1:
+                break
+            frac *= 4.0
+            continue
+        if sufficient and cache_registry is not None:
+            # caller owns the prefix cache; batch is a lazy cut over it
+            cache_registry.append(elig)
+            return finish(cut)
+        # self-contained (or with_rank, where sufficiency needs the
+        # count anyway): materialize the batch's own cache, then drop
+        # the prefix cache — the caller's handle on the RETURNED batch
+        # frees everything (ADVICE r2: the success path used to leak
+        # one cached DF per epoch).
+        batch = finish(cut).cache()
+        ok = True if sufficient else batch.count() >= k
+        if ok and sufficient:
+            batch.count()  # materialize before the prefix cache drops
         elig.unpersist()
         if ok:
+            if cache_registry is not None:
+                cache_registry.append(batch)
             return batch
         batch.unpersist()
         if cut_idx >= len(sample) - 1:
             break
         frac *= 4.0
-    return finish(take_k(eligible_of(df)))
+    return finish(take_k(eligible_of(df))[0])
 
 
 def _status_merge(frontier: DataFrame, updates: DataFrame, new_status: str, **set_cols: Column) -> DataFrame:
