@@ -654,6 +654,71 @@ WHERE ROUND(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 4) >= 0.5
     )
 
 
+def _phash_fixture_col():
+    """Deterministic synthetic phash per document — the image+caption
+    stand-in the oracle can reproduce: docs sharing ``doc_id % 100``
+    form a near-dup family (same sha-derived 60-bit base hash, one
+    family-unique bit flipped per non-base member → pairwise Hamming
+    ≤ 2), while cross-family hashes differ in ~30 bits. Engine-
+    independent: sha256 hex → int64, bit ops only."""
+    from pyspark.sql import functions as F
+
+    grp = (F.col("doc_id") % 100).cast("string")
+    base = F.conv(F.substring(F.sha2(grp, 256), 1, 15), 16, 10).cast("long")
+    flip = F.expr(
+        "CASE WHEN doc_id >= 100 THEN "
+        "shiftleft(cast(1 as bigint), cast(((doc_id div 100) * 13 + doc_id % 100) % 60 as int)) "
+        "ELSE cast(0 as bigint) END"
+    )
+    return base.bitwiseXOR(flip).alias("phash")
+
+
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual-hash banding (the multimodal
+    MinHash-LSH analog; operators/dedup.py:phash_near_dup_pairs).
+    16-bit bands over the 64-bit phash → bucket equi-join → exact
+    bit_count(xor) Hamming rerank ≤ 8."""
+    from podcast_plow_spark.operators.dedup import phash_near_dup_pairs
+
+    imgs = _spread(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("image_id"), _phash_fixture_col()
+    )
+    return phash_near_dup_pairs(
+        imgs, id_col="image_id", phash_col="phash", n_bands=4, bits_per_band=16,
+        max_hamming=8, band_cap=200,
+    )
+
+
+def _phash_near_dup_oracle_sql(n_bands: int = 4, bits_per_band: int = 16, band_cap: int = 200) -> str:
+    """DuckDB mirror: same sha-derived phash fixture, same 16-bit band
+    keys, same band cap, same exact Hamming verify."""
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT image_id, phash, {b} AS band, (phash >> {b * bits_per_band}) & {(1 << bits_per_band) - 1} AS bkey FROM imgs"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH imgs AS (
+  SELECT doc_id AS image_id,
+         xor(CAST('0x' || substr(sha256(CAST(doc_id % 100 AS VARCHAR)), 1, 15) AS BIGINT),
+             CASE WHEN doc_id >= 100
+                  THEN CAST(1 AS BIGINT) << CAST((((doc_id // 100) * 13 + doc_id % 100) % 60) AS INTEGER)
+                  ELSE 0 END) AS phash
+  FROM documents
+),
+bands AS (
+{band_selects}
+),
+ok_bands AS (
+  SELECT image_id, phash, band, bkey FROM bands
+  WHERE (band, bkey) IN (SELECT (band, bkey) FROM bands GROUP BY band, bkey HAVING COUNT(*) <= {band_cap})
+)
+SELECT DISTINCT a.image_id AS a_id, b.image_id AS b_id,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM ok_bands a JOIN ok_bands b ON a.band = b.band AND a.bkey = b.bkey AND a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 8
+"""
+
+
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (scale path) — now ORACLE-checked: the seeded
     hyperplane matrix is enumerated INLINE into the generated DuckDB
@@ -1790,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "phash_near_dup": q_phash_near_dup,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "chunk_documents": q_chunk_documents,
         "budgeted_selection": q_budgeted_selection,
@@ -1865,6 +1931,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_gc": _SQL_DEDUP_GC,
         "pubtype_classify": _SQL_PUBTYPE,
         "minhash_lsh_dedup": _minhash_lsh_oracle_sql(),
+        "phash_near_dup": _phash_near_dup_oracle_sql(),
         "luhn_summary": _SQL_LUHN_SUMMARY,
         "lsh_cosine_topk": _lsh_cosine_oracle_sql(),
         "ivf_cosine_topk": _ivf_cosine_oracle_sql(),

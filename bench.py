@@ -65,7 +65,8 @@ def main() -> None:
         from podcast_plow_spark.crawl.bench import frontier_throughput
 
         crawl = frontier_throughput(spark, n_urls=int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "300000")))
-        timings["frontier_throughput_urls_per_sec"] = round(crawl, 1)
+        timings["frontier_throughput_urls_per_sec"] = round(crawl["urls_per_sec"], 1)
+        timings["frontier_throughput_overlap_urls_per_sec"] = round(crawl["urls_per_sec_overlap"], 1)
     except Exception:  # noqa: BLE001 — engine not built yet / optional
         pass
 

@@ -44,6 +44,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash64",
     "ngram_jaccard_pairs",
+    "phash_near_dup_pairs",
 ]
 
 _LOG = logging.getLogger(__name__)
@@ -381,3 +382,72 @@ def ngram_jaccard_pairs(
     survivors = scored.where(ub >= F.lit(jaccard_threshold - 1e-4)).select("a_id", "b_id")
     # pass 3 — exact verify of the few survivors on FULL shingle sets
     return _verify_exact_jaccard(survivors, sh, id_col, jaccard_threshold)
+
+
+def phash_near_dup_pairs(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    n_bands: int = 4,
+    bits_per_band: int = 16,
+    max_hamming: int = 8,
+    band_cap: int | None = None,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate image pairs — the multimodal
+    analog of MinHash-LSH, over the BASELINE input_hint's
+    ``phash:int64`` column (sources/images.py computes it per decoded
+    payload; the reference crawler has no image dedup at all —
+    reference worker/media.py stops at byte-exact fingerprints).
+
+    Banding: the 64-bit phash is split into ``n_bands`` contiguous
+    ``bits_per_band``-bit keys; two images whose Hamming distance is
+    ≤ ``n_bands - 1`` MUST agree on at least one band (pigeonhole), so
+    recall is 1.0 up to that distance and probabilistic above it —
+    exactly MinHash-LSH's band guarantee, transposed to bit blocks.
+    Candidates come from an equi-join on (band, key); each survivor is
+    exact-verified with a JVM-side popcount of the XOR
+    (``bit_count``), never a UDF.
+
+    Plan shape at 10^10 images: the band relation is 3 narrow columns
+    × n_bands rows per image; candidate generation is an equi-join
+    (shuffle on 2-int key), never all-pairs; ``band_cap`` excludes
+    degenerate buckets (flat-color thumbnails all hash to the same
+    value — one such bucket of b images is O(b²) pairs) eagerly and
+    loudly, as in the text-LSH family. Returns (a_id, b_id, hamming).
+    """
+    ph = F.col(phash_col).cast("long")
+    mask = (1 << bits_per_band) - 1
+    bands = images.select(
+        F.col(id_col),
+        ph.alias("__ph"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(ph, b * bits_per_band).bitwiseAND(F.lit(mask)).alias("bkey"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("__ph"), F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+    if band_cap is not None:
+        bands = _drop_hot_keys(bands, ["band", "bkey"], band_cap, "phash band buckets")
+
+    a = bands.select(F.col(id_col).alias("a_id"), F.col("__ph").alias("__pa"), "band", "bkey")
+    b = bands.select(F.col(id_col).alias("b_id"), F.col("__ph").alias("__pb"), "band", "bkey")
+    # phash rides along (8 bytes/row), so the Hamming verify needs no
+    # join back to the image relation; the ≤max_hamming filter runs
+    # BEFORE the pair-distinct, shrinking the distinct's input to the
+    # winners (a pair can collide in up to n_bands buckets).
+    hamming = F.bit_count(F.col("__pa").bitwiseXOR(F.col("__pb")))
+    return (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+        .distinct()
+    )

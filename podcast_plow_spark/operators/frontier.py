@@ -264,6 +264,7 @@ def dequeue_batch_polite(
     with_rank: bool = True,
     n_hint: int | None = None,
     cache_registry: "list[DataFrame] | None" = None,
+    presample: "list | None" = None,
 ) -> DataFrame:
     """Politeness-capped top-K dequeue — the epoch-loop primitive.
 
@@ -312,6 +313,16 @@ def dequeue_batch_polite(
     function is self-contained exactly as before: the returned batch
     carries its own materialized cache and the prefix cache is
     released before returning.
+
+    ``presample``: order-key rows (mappings with priority/run_at/seq)
+    collected EARLIER — e.g. as a byproduct of the previous epoch's
+    frontier merge — replacing this call's threshold-sampling job
+    (one less frontier-scanning job per epoch; in steady state the
+    sample rides the write path for free). Correctness never depends
+    on sample freshness: the threshold only picks the candidate
+    prefix, an undershot prefix widens geometrically and ultimately
+    falls back to the exact path, and sufficiency is verified against
+    the LIVE frontier by the fused k-th-key probe.
     """
     df = runnable(frontier, now)
     w_host = Window.partitionBy("host").orderBy(*DEQUEUE_ORDER())
@@ -380,11 +391,14 @@ def dequeue_batch_polite(
     if n <= cutoff:
         return finish(take_k(eligible_of(df))[0])
 
-    sample = (
-        df.select("priority", "run_at", "seq")
-        .sample(False, min(1.0, sample_rows / max(n, 1)), seed=42)
-        .collect()
-    )
+    if presample is not None:
+        sample = list(presample)
+    else:
+        sample = (
+            df.select("priority", "run_at", "seq")
+            .sample(False, min(1.0, sample_rows / max(n, 1)), seed=42)
+            .collect()
+        )
     if not sample:
         return finish(take_k(eligible_of(df))[0])
     sample.sort(key=lambda r: (-r["priority"], r["run_at"], r["seq"]))
@@ -432,8 +446,11 @@ def dequeue_batch_polite(
             batch.count()  # materialize before the prefix cache drops
         elig.unpersist()
         if ok:
-            if cache_registry is not None:
-                cache_registry.append(batch)
+            # The caller's handle on the RETURNED batch owns this cache
+            # (engine unpersists it directly); the registry is only for
+            # caches the caller can't otherwise reach (the eligible-
+            # prefix cache above) — appending here would make engine
+            # unpersist the same cache twice (ADVICE r3).
             return batch
         batch.unpersist()
         if cut_idx >= len(sample) - 1:

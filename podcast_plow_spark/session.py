@@ -60,16 +60,29 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
-    # Shuffle/spill to tmpfs when available: this VM's virtualized
+    # Shuffle/spill to tmpfs when useful: this VM's virtualized
     # disk makes shuffle-block commits pathologically slow (measured
     # 84 s of cumulative shuffle-write time for a 16 MiB exchange —
     # file create/sync latency, not bandwidth). Production clusters
     # put spark.local.dir on NVMe or use an external shuffle service;
-    # RAM-backed local dirs are the single-box equivalent. Override
-    # with SPARK_GRAFT_LOCAL_DIR (e.g. to exercise the disk path).
+    # RAM-backed local dirs are the single-box equivalent. But many
+    # containers cap /dev/shm at 64 MB, where redirecting shuffle
+    # there trades slow writes for ENOSPC — so only auto-default when
+    # the tmpfs actually has headroom (≥4 GiB free). Explicit
+    # overrides: SPARK_GRAFT_LOCAL_DIR=<dir> picks the dir,
+    # SPARK_GRAFT_TMPFS=0 disables the auto-default entirely.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
+    if (
+        local_dir is None
+        and os.environ.get("SPARK_GRAFT_TMPFS", "1") != "0"
+        and os.path.isdir("/dev/shm")
+    ):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 4 << 30:
+                local_dir = "/dev/shm/spark-local"
+        except OSError:
+            pass
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)

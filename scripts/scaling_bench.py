@@ -13,6 +13,17 @@ With the in-process control, each pair's normalized efficiency
   (tput_32 / tput_8) / (kctrl_8_sec / kctrl_32_sec)
 is mode-matched and the VM's mode cancels.
 
+Headline statistic (ADVICE r3): the MEDIAN mode-matched pair
+efficiency. The peak-based figure is reported as supplementary only.
+Hypervisor steal is MEASURED around every run via /proc/stat (not
+asserted in prose); per-run steal seconds are listed so the reader can
+see which pairs were disturbed.
+
+Each bench process times BOTH candidate workloads: the fresh-candidate
+stream (round-over-round series) and an all-already-seen stream (the
+heaviest seen-filter path — every candidate Bloom-positive, exact
+broadcast backstop exercised); efficiency is reported for both.
+
 Usage: python scripts/scaling_bench.py [n_urls] [n_pairs]
 Writes BENCH/BASELINE.md and prints one JSON line.
 """
@@ -23,6 +34,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -51,8 +63,24 @@ spark.stop()
 """
 
 
+def _read_steal_ticks() -> int:
+    try:
+        with open("/proc/stat") as fh:
+            for line in fh:
+                if line.startswith("cpu "):
+                    fields = line.split()
+                    return int(fields[8]) if len(fields) > 8 else 0
+    except OSError:
+        pass
+    return 0
+
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
 def _run_bench_once(cores: str, n_urls: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_INPROC_CONTROL="1")
+    steal0, t0 = _read_steal_ticks(), time.perf_counter()
     out = subprocess.run(
         [sys.executable, "-m", "podcast_plow_spark.crawl.bench", cores, str(n_urls)],
         cwd=REPO,
@@ -61,7 +89,12 @@ def _run_bench_once(cores: str, n_urls: int) -> dict:
         check=True,
         env=env,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    wall = time.perf_counter() - t0
+    steal_sec = (_read_steal_ticks() - steal0) / _CLK_TCK
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    res["steal_sec"] = round(steal_sec, 1)
+    res["wall_sec"] = round(wall, 1)
+    return res
 
 
 def _median(xs: list[float]) -> float:
@@ -93,16 +126,25 @@ def main() -> None:
         a = _run_bench_once(small, n_urls)
         b = _run_bench_once(large, n_urls)
         speedup = b["urls_per_sec"] / a["urls_per_sec"]
+        ov_speedup = b["urls_per_sec_overlap"] / a["urls_per_sec_overlap"]
         ceiling = a["kernel_control_sec"] / b["kernel_control_sec"]
         pairs.append(
             {
                 "tput_small": a["urls_per_sec"],
                 "tput_large": b["urls_per_sec"],
+                "tput_small_overlap": a["urls_per_sec_overlap"],
+                "tput_large_overlap": b["urls_per_sec_overlap"],
                 "kctrl_small_sec": a["kernel_control_sec"],
                 "kctrl_large_sec": b["kernel_control_sec"],
+                "steal_small_sec": a["steal_sec"],
+                "steal_large_sec": b["steal_sec"],
+                "wall_small_sec": a["wall_sec"],
+                "wall_large_sec": b["wall_sec"],
                 "speedup": round(speedup, 2),
+                "overlap_speedup": round(ov_speedup, 2),
                 "pair_ceiling": round(ceiling, 2),
                 "norm_eff": round(speedup / ceiling, 2) if ceiling > 0 else 0.0,
+                "norm_eff_overlap": round(ov_speedup / ceiling, 2) if ceiling > 0 else 0.0,
             }
         )
     ctrl_small_runs.append(_run_control(small))
@@ -114,6 +156,7 @@ def main() -> None:
     tput_large = _median(runs_large)
     speedup = _median([p["speedup"] for p in pairs])
     norm_eff = _median([p["norm_eff"] for p in pairs])
+    norm_eff_overlap = _median([p["norm_eff_overlap"] for p in pairs])
     abs_eff = speedup / 4.0
     ctrl_small = min(ctrl_small_runs)
     ctrl_large = min(ctrl_large_runs)
@@ -123,11 +166,14 @@ def main() -> None:
     )
     peak_ratio = max(runs_large) / max(runs_small)
     peak_norm_eff = peak_ratio / kctrl_best_ceiling if kctrl_best_ceiling > 0 else 0.0
+    total_steal = sum(p["steal_small_sec"] + p["steal_large_sec"] for p in pairs)
+    total_wall = sum(p["wall_small_sec"] + p["wall_large_sec"] for p in pairs)
 
     pair_rows = "\n".join(
         f"| {i + 1} | {p['tput_small']:,.0f} | {p['tput_large']:,.0f} | {p['speedup']:.2f}× "
         f"| {p['kctrl_small_sec']:.1f} / {p['kctrl_large_sec']:.1f} = {p['pair_ceiling']:.2f}× "
-        f"| **{p['norm_eff']:.2f}** |"
+        f"| {p['steal_small_sec']:.0f} / {p['steal_large_sec']:.0f} "
+        f"| **{p['norm_eff']:.2f}** | {p['norm_eff_overlap']:.2f} |"
         for i, p in enumerate(pairs)
     )
 
@@ -144,8 +190,10 @@ on identical input (no real cluster available).
 One full crawl epoch over a synthetic {n_urls:,}-URL frontier with a
 planted hot host (10% of URLs on one host):
 politeness-capped dequeue (sampled global-order prefix, per-host
-rank computed inside the prefix only — dequeue_batch_polite) →
-fetch+process
+rank computed inside the prefix only — dequeue_batch_polite; the
+order-key threshold sample is maintained across epochs as a byproduct
+of the previous epoch's frontier write, so no per-epoch sampling job)
+→ fetch+process
 (payload decode + PSNR≥40dB invariant + phash, Arrow-vectorized;
 44-level quantize ladder ≈ 2.2 ms/URL single-threaded — the LOW end
 of real jpeg/webp decode cost, so orchestration share here is an
@@ -155,6 +203,14 @@ upper bound on production's)
 probe, exact anti-join backstop) → deterministic-seq enqueue.
 Steady-state best-of-reps epochs after one warm-up epoch
 (`podcast_plow_spark/crawl/bench.py`).
+
+Each process times TWO candidate workloads (ADVICE r3):
+
+- **fresh** — candidates disjoint from the seen set (the
+  round-over-round series' workload; lightest seen-filter path);
+- **overlap** — candidates 100% already-seen (every candidate is
+  Bloom-positive and exercises the exact broadcast backstop; heaviest
+  seen-filter path; near-zero enqueue).
 
 ## Methodology: mode-matched interleaved pairs
 
@@ -170,42 +226,39 @@ efficiency
 
 is mode-matched and cancels process-wide mode differences.
 
-Two statistics are reported (every run listed below):
+**Headline statistic: the MEDIAN mode-matched pair efficiency** — the
+conservative figure (steal bursts that hit one side of a pair
+mid-epoch but not its control pass through and bias it DOWN, never
+up). The peak-based figure (ratio of per-side best throughputs over
+best ceilings) is reported as supplementary only: it filters
+one-sided noise but combines measurements from different processes.
 
-1. **Peak-based normalized efficiency** (headline): ratio of per-side
-   BEST throughputs over all processes, normalized by the ratio of
-   per-side BEST kernel controls. Hypervisor steal on this box is
-   **bursty and strictly one-sided** — it can only *lower* a
-   measurement, never raise it (verified: /proc/stat steal counter;
-   slow epochs occur mid-process with the frontier cache fully
-   resident and no GC pauses) — so the per-side maximum is a
-   consistent estimator of the software's undisturbed throughput, and
-   the ratio of maxima estimates true scaling with the one-sided
-   noise filtered out.
-2. **Median mode-matched pair efficiency**: the conservative
-   statistic — median over interleaved pairs of
-   speedup / in-process-ceiling. Steal bursts that hit one side of a
-   pair *mid-epoch but not its control* pass through this statistic,
-   biasing it down; it is reported as the floor.
+Hypervisor steal is **measured, not asserted**: /proc/stat's steal
+counter is sampled around every run; per-run steal seconds are in the
+table. Steal can only subtract from a run's throughput (the counter
+is time NOT given to this VM), so pairs with visible steal imbalance
+explain their own outliers.
 
 The pure-Python bytecode control brackets the session for continuity
 with earlier rounds.
 
 ## Results
 
-| pair | local[{small}] URLs/s | local[{large}] URLs/s | speedup | in-proc kernel ctrl (s/s = ceiling) | norm. eff |
-|---|---|---|---|---|---|
+| pair | local[{small}] URLs/s | local[{large}] URLs/s | speedup | in-proc kernel ctrl (s/s = ceiling) | steal s ({small}/{large}) | norm. eff | overlap eff |
+|---|---|---|---|---|---|---|---|
 {pair_rows}
 
 | statistic | value |
 |---|---|
-| **peak-based normalized efficiency** (peak ratio / best ceiling) | **{peak_norm_eff:.2f}** |
-| peak-of-processes throughput ratio | {peak_ratio:.2f}× ({max(runs_small):,.0f} → {max(runs_large):,.0f} URLs/s) |
-| best-of-session kernel ceiling | {kctrl_best_ceiling:.2f}× |
-| median mode-matched pair efficiency (floor) | {norm_eff:.2f} |
+| **median mode-matched pair efficiency (HEADLINE)** | **{norm_eff:.2f}** |
+| median mode-matched pair efficiency, overlap workload | {norm_eff_overlap:.2f} |
 | median pair speedup | {speedup:.2f}× |
 | absolute scaling efficiency (median speedup / 4) | {abs_eff:.2f} |
 | median throughput {small} / {large} | {tput_small:,.0f} / {tput_large:,.0f} URLs/s |
+| peak-based normalized efficiency (supplementary) | {peak_norm_eff:.2f} |
+| peak-of-processes throughput ratio | {peak_ratio:.2f}× ({max(runs_small):,.0f} → {max(runs_large):,.0f} URLs/s) |
+| best-of-session kernel ceiling | {kctrl_best_ceiling:.2f}× |
+| total measured hypervisor steal | {total_steal:.0f} s over {total_wall:.0f} s of bench wall time |
 | pure-Python control ceiling (bracketing, best) | {py_ceiling:.2f}× ({ctrl_small:.2f} s / {ctrl_large:.2f} s) |
 
 ## Why the ceiling matters — and why the same-kernel control
@@ -221,7 +274,7 @@ for its own kind of work. The SAME-KERNEL control runs the crawl's
 dominant stage (the image decode/PSNR/phash kernel) zero-shuffle over
 a trivially-parallel input: identical compute substrate (Arrow batches
 + numpy inside python workers), zero coordination — the tightest
-honest ceiling for this job, now measured inside the very process it
+honest ceiling for this job, measured inside the very process it
 normalizes.
 
 ## Plan-shape evidence for 4N scale-out (what we removed)
@@ -229,7 +282,9 @@ normalizes.
 - dequeue: sampled-threshold top-K (driver merges O(K), was
   O(partitions × K) via TakeOrderedAndProject); ONE frontier scan per
   epoch (eligible-prefix cached; k-th-key probe + cut + downstream
-  all read the ~k·safety-row cache)
+  all read the ~k·safety-row cache); the threshold sample itself is
+  carried across epochs (presample), so sampling costs zero jobs in
+  steady state
 - seq assignment: keyed arithmetic (was a global row_number window →
   single-reducer sort of the whole frontier)
 - politeness rank: window over a host-clustered, sorted-on-write
@@ -246,9 +301,9 @@ normalizes.
   canonicalize+probe python stages)
 - decode stage: explicit repartition (AQE would coalesce the ~16 MB
   shuffle to ~1 partition and serialize the stage)
-- shuffle dirs on tmpfs (this VM's virtualized disk: 84 s cumulative
-  write time for a 16 MiB exchange; production = NVMe / external
-  shuffle service)
+- shuffle dirs on tmpfs when it has ≥4 GiB free (this VM's
+  virtualized disk: 84 s cumulative write time for a 16 MiB exchange;
+  production = NVMe / external shuffle service)
 - BLAS pinned to 1 thread/worker (N workers × M-thread BLAS pools
   anti-scale every numpy kernel)
 
@@ -283,11 +338,14 @@ budget for the full-scale frontier are worked through in
                 "speedup_median_pair": round(speedup, 2),
                 "abs_efficiency": round(abs_eff, 2),
                 "normalized_efficiency_median": round(norm_eff, 2),
+                "normalized_efficiency_median_overlap": round(norm_eff_overlap, 2),
                 "peak_normalized_efficiency": round(peak_norm_eff, 2),
                 "peak_ratio": round(peak_ratio, 2),
                 "kctrl_best_ceiling": round(kctrl_best_ceiling, 2),
                 "py_ceiling_speedup": round(py_ceiling, 2),
                 "control_sec": {small: ctrl_small, large: ctrl_large},
+                "steal_sec_total": round(total_steal, 1),
+                "wall_sec_total": round(total_wall, 1),
                 "n_urls": n_urls,
                 "n_pairs": n_pairs,
             }

@@ -130,3 +130,71 @@ class TestDfCap:
         assert (200, 201) in pairs
         assert not any(a < 40 and b < 40 for a, b in pairs)  # degenerate cluster capped out
         assert any("df-cap" in rec.message for rec in caplog.records)
+
+
+class TestPhashNearDup:
+    """Image near-dup via phash banding: full recall up to Hamming
+    n_bands-1 (pigeonhole) vs brute force on REAL phash64 hashes of
+    synthetic fixture images, plus no-false-positive and band-cap
+    behavior."""
+
+    def _image_hashes(self, spark, n=120):
+        # real kernel: decode fixture pixels → phash64; plant near-dups
+        # by giving every 4th image a 1-2 px perturbation of image n//4
+        import numpy as np
+
+        from podcast_plow_spark.sources.images import phash64_batch, pixels_batch
+
+        px = pixels_batch(list(range(n)), 32, 24).copy()
+        for i in range(0, n, 4):  # image i becomes a ~1-px tweak of i+1
+            px[i] = px[i + 1]
+            px[i, i % 24, i % 32] = (px[i, i % 24, i % 32].astype(np.int32) + 120) % 255
+        hashes = phash64_batch(px)
+        return [(i, int(hashes[i])) for i in range(n)]
+
+    def test_full_recall_below_band_guarantee(self, spark):
+        from podcast_plow_spark.operators.dedup import phash_near_dup_pairs
+
+        rows = self._image_hashes(spark)
+        imgs = spark.createDataFrame(rows, "image_id long, phash long")
+        n_bands, max_h = 4, 3  # ≤ n_bands-1 ⇒ pigeonhole full recall
+        got = {
+            (r["a_id"], r["b_id"]): r["hamming"]
+            for r in phash_near_dup_pairs(
+                imgs, n_bands=n_bands, max_hamming=max_h
+            ).collect()
+        }
+        brute = {}
+        for i, hi in rows:
+            for j, hj in rows:
+                if i < j and bin(hi ^ hj).count("1") <= max_h:
+                    brute[(i, j)] = bin(hi ^ hj).count("1")
+        assert got == brute, "missed or spurious pairs below the pigeonhole bound"
+        assert brute, "fixture must plant at least one near-dup pair"
+
+    def test_no_false_positives_above_threshold(self, spark):
+        from podcast_plow_spark.operators.dedup import phash_near_dup_pairs
+
+        rows = self._image_hashes(spark)
+        imgs = spark.createDataFrame(rows, "image_id long, phash long")
+        by_id = dict(rows)
+        for r in phash_near_dup_pairs(imgs, max_hamming=8).collect():
+            true_h = bin(by_id[r["a_id"]] ^ by_id[r["b_id"]]).count("1")
+            assert r["hamming"] == true_h and true_h <= 8
+
+    def test_band_cap_drops_degenerate_buckets(self, spark, caplog):
+        import logging
+
+        from podcast_plow_spark.operators.dedup import phash_near_dup_pairs
+
+        # 50 identical hashes (flat-color thumbnails) + 2 distinct near-dups
+        rows = [(i, 0xABCD1234) for i in range(50)] + [(100, 1 << 20), (101, (1 << 20) | 3)]
+        imgs = spark.createDataFrame(rows, "image_id long, phash long")
+        with caplog.at_level(logging.WARNING):
+            pairs = {
+                (r["a_id"], r["b_id"])
+                for r in phash_near_dup_pairs(imgs, max_hamming=8, band_cap=10).collect()
+            }
+        assert (100, 101) in pairs, "capped buckets must not hurt unrelated pairs"
+        assert all(a >= 100 for a, _ in pairs), "degenerate bucket excluded"
+        assert any("phash band buckets" in r.message for r in caplog.records)
