@@ -58,7 +58,7 @@ from podcast_plow_spark.operators.politeness import (
     robots_filter,
     schedule_fetches,
 )
-from podcast_plow_spark.operators.seen import build_bloom, seen_filter_exact
+from podcast_plow_spark.operators.seen import build_bloom, build_sharded_bloom, seen_filter_exact
 from podcast_plow_spark.sources.feeds import fetch_and_parse_feeds, load_seeds
 from podcast_plow_spark.sources.snapshots import SnapshotStore
 
@@ -73,6 +73,10 @@ class CrawlConfig:
     num_partitions: int = 8
     use_bloom: bool = True
     bloom_bits_per_item: int = 12
+    #: shard the URL-seen filter by the frontier's crc32-host bucket
+    #: (ShardedBloom — the 10^10 SCALE_DESIGN layout, where a 15 GB
+    #: monolithic filter cannot be broadcast whole). None = monolithic.
+    bloom_shards: int | None = None
     max_attempts: int = 3
     #: injectable clock — the dequeue honors ``run_at <= clock()``
     #: (reference dequeue_job's ``run_at <= now()``), so rows requeued
@@ -282,12 +286,21 @@ class CrawlEngine:
             bloom = None
             if self.cfg.use_bloom:
                 if self._bloom is None:
-                    self._bloom = build_bloom(
-                        seen,
-                        "url_canon",
-                        expected_items=self._bloom_capacity,
-                        bits_per_item=self.cfg.bloom_bits_per_item,
-                    )
+                    if self.cfg.bloom_shards:
+                        self._bloom = build_sharded_bloom(
+                            seen,
+                            "url_canon",
+                            n_shards=self.cfg.bloom_shards,
+                            expected_items=self._bloom_capacity,
+                            bits_per_item=self.cfg.bloom_bits_per_item,
+                        )
+                    else:
+                        self._bloom = build_bloom(
+                            seen,
+                            "url_canon",
+                            expected_items=self._bloom_capacity,
+                            bits_per_item=self.cfg.bloom_bits_per_item,
+                        )
                 bloom = self._bloom
             unseen, stats = seen_filter_exact(
                 cand, seen, bloom, "url_canon",
@@ -306,7 +319,12 @@ class CrawlEngine:
             n_new = new_rows.count()
             if self.cfg.use_bloom and n_new:
                 # incremental maintenance: OR in only this epoch's insertions
-                delta = build_bloom(new_rows.select("url_canon"), "url_canon", like=self._bloom)
+                if self.cfg.bloom_shards:
+                    delta = build_sharded_bloom(
+                        new_rows.select("url_canon"), "url_canon", like=self._bloom
+                    )
+                else:
+                    delta = build_bloom(new_rows.select("url_canon"), "url_canon", like=self._bloom)
                 self._bloom = self._bloom.merge(delta)
 
         # --- mark batch done + insert discoveries as ONE merge-on-read

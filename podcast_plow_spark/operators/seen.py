@@ -29,7 +29,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["BloomFilter", "build_bloom", "probe_bloom", "seen_filter_exact"]
+__all__ = [
+    "BloomFilter",
+    "ShardedBloom",
+    "build_bloom",
+    "build_sharded_bloom",
+    "probe_bloom",
+    "seen_filter_exact",
+]
 
 _BLOCK_WORDS = 8  # 8 × 64 = 512-bit blocks
 
@@ -100,6 +107,127 @@ class BloomFilter:
         return bc
 
 
+class ShardedBloom:
+    """Blocked Bloom sharded by the frontier's host-hash bucket — the
+    10^10 design point of BENCH/SCALE_DESIGN.md made code: a
+    monolithic filter at 10^10 URLs × 12 bits is ~15 GB, too large to
+    broadcast whole, but the frontier (and every candidate batch, via
+    politeness host co-location) is bucketed by ``crc32(host) %
+    n_shards`` — so shard s only ever serves probes for bucket s's
+    hosts, and an executor working bucket s needs ~15 GB / n_shards.
+
+    In local mode all shards ride one broadcast (same total bytes as
+    the monolith); the sharding is the PLACEMENT story plus the
+    geometry story (each shard is sized for its keys, so saturation
+    in one hot bucket never degrades the other shards' fpr).
+    Interface-compatible with :class:`BloomFilter` where it matters:
+    ``merge`` (shard-wise OR) and membership via
+    :func:`probe_bloom`, which derives each key's bucket JVM-side.
+    """
+
+    def __init__(self, n_shards: int, shards: "dict[int, BloomFilter]", k: int = 6):
+        self.n_shards = n_shards
+        self.shards = shards
+        self.k = k
+
+    def merge(self, other: "ShardedBloom") -> "ShardedBloom":
+        assert self.n_shards == other.n_shards
+        merged: dict[int, BloomFilter] = dict(self.shards)
+        for s, bf in other.shards.items():
+            merged[s] = merged[s].merge(bf) if s in merged else bf
+        return ShardedBloom(self.n_shards, merged, self.k)
+
+    def contains_many(self, keys: np.ndarray, buckets: np.ndarray) -> np.ndarray:
+        """Vectorized probe: group keys by bucket, probe each group
+        against its shard. A bucket with no shard (no seen URLs from
+        those hosts yet) is definitively unseen."""
+        out = np.zeros(len(keys), dtype=bool)
+        for s in np.unique(buckets):
+            bf = self.shards.get(int(s))
+            if bf is None:
+                continue
+            idx = np.nonzero(buckets == s)[0]
+            out[idx] = bf.contains_many(keys[idx])
+        return out
+
+    def broadcast_on(self, spark) -> "object":
+        bc = getattr(self, "_bc", None)
+        if bc is None:
+            payload = {s: (bf.n_blocks, bf.k, bf.words) for s, bf in self.shards.items()}
+            bc = spark.sparkContext.broadcast((self.n_shards, payload))
+            self._bc = bc
+        return bc
+
+
+def _host_bucket_col(url_col: str, n_shards: int) -> F.Column:
+    """Shard id from a URL column: same crc32-of-host bucketing as the
+    frontier's ``host_hash`` layout (functions/urls.py:host_hash_col),
+    so shard s of the filter aligns with bucket s of the frontier."""
+    host = F.coalesce(F.parse_url(F.col(url_col), F.lit("HOST")), F.lit(""))
+    return F.pmod(F.crc32(F.encode(host, "utf-8")), F.lit(n_shards)).cast("int")
+
+
+def build_sharded_bloom(
+    seen: DataFrame,
+    key_col: str = "url_canon",
+    n_shards: int = 16,
+    expected_items: int | None = None,
+    k: int = 6,
+    bits_per_item: int = 12,
+    like: "ShardedBloom | None" = None,
+) -> ShardedBloom:
+    """Per-host-bucket Bloom shards, built in one distributed pass:
+    each input partition builds partial shards for the buckets it
+    holds (emitting (shard, words) rows), and partials are OR-merged
+    per shard with ``reduceByKey`` — the driver receives n_shards
+    merged shards, never P partials. ``like`` pins shard geometry for
+    incremental maintenance (build over an epoch's insertions only,
+    then ``merge``)."""
+    if like is not None:
+        n_shards = like.n_shards
+        geom = {s: (bf.n_blocks, bf.k) for s, bf in like.shards.items()}
+        default_geom = next(iter(geom.values())) if geom else None
+    else:
+        geom = {}
+        default_geom = None
+    if default_geom is None:
+        n = expected_items or seen.count()
+        proto = BloomFilter.sized_for(max(1, n // n_shards), bits_per_item=bits_per_item, k=k)
+        default_geom = (proto.n_blocks, proto.k)
+
+    def part_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        partial: dict[int, BloomFilter] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ks = pdf["__k"].to_numpy(dtype=np.int64).astype(np.uint64) % np.uint64(2**63)
+            bs = pdf["__b"].to_numpy(dtype=np.int64)
+            for s in np.unique(bs):
+                nb, kk = geom.get(int(s), default_geom)
+                bf = partial.setdefault(int(s), BloomFilter(nb, kk))
+                bf.add_many(ks[bs == s])
+        yield pd.DataFrame(
+            {"shard": list(partial), "words": [bf.words.tobytes() for bf in partial.values()]}
+        )
+
+    keys_df = seen.select(
+        _key_col(key_col).alias("__k"), _host_bucket_col(key_col, n_shards).alias("__b")
+    )
+    if keys_df.rdd.getNumPartitions() > 32:
+        keys_df = keys_df.coalesce(32)
+    parts = keys_df.mapInPandas(part_shards, "shard int, words binary")
+    merged = (
+        parts.rdd.map(lambda r: (r["shard"], np.frombuffer(r["words"], dtype=np.uint64)))
+        .reduceByKey(lambda a, b: a | b)
+        .collect()
+    )
+    shards = {
+        int(s): BloomFilter(geom.get(int(s), default_geom)[0], geom.get(int(s), default_geom)[1], w.copy())
+        for s, w in merged
+    }
+    return ShardedBloom(n_shards, shards, k)
+
+
 def _key_col(col: str) -> F.Column:
     """int64 key from a string column — first 15 sha256 hex chars
     (engine-independent, same discipline as the dedup family)."""
@@ -156,7 +284,9 @@ def build_bloom(
     return BloomFilter(n_blocks, kk, words)
 
 
-def probe_bloom(candidates: DataFrame, bloom: BloomFilter, key_col: str = "url_canon") -> DataFrame:
+def probe_bloom(
+    candidates: DataFrame, bloom: "BloomFilter | ShardedBloom", key_col: str = "url_canon"
+) -> DataFrame:
     """Adds ``maybe_seen`` (bloom positive). Definite negatives skip the
     exact join entirely.
 
@@ -166,12 +296,29 @@ def probe_bloom(candidates: DataFrame, bloom: BloomFilter, key_col: str = "url_c
     mapInPandas form serialized the full wide row both ways — ~8× the
     Arrow bytes for a one-column computation). The key itself is
     computed JVM-side (sha2+conv), so Python work is pure numpy
-    bit-probing."""
+    bit-probing. With a :class:`ShardedBloom`, the key's host bucket
+    is ALSO computed JVM-side and the probe touches only that shard."""
     spark = candidates.sparkSession
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BooleanType
 
     bc = bloom.broadcast_on(spark)
+
+    if isinstance(bloom, ShardedBloom):
+
+        @pandas_udf(BooleanType())
+        def probe_sharded(keys: pd.Series, buckets: pd.Series) -> pd.Series:
+            n_shards, payload = bc.value
+            sb = ShardedBloom(
+                n_shards, {s: BloomFilter(nb, kk, w) for s, (nb, kk, w) in payload.items()}
+            )
+            ks = keys.to_numpy(dtype=np.int64).astype(np.uint64) % np.uint64(2**63)
+            return pd.Series(sb.contains_many(ks, buckets.to_numpy(dtype=np.int64)))
+
+        return candidates.withColumn(
+            "maybe_seen",
+            probe_sharded(_key_col(key_col), _host_bucket_col(key_col, bloom.n_shards)),
+        )
 
     @pandas_udf(BooleanType())
     def probe(keys: pd.Series) -> pd.Series:
@@ -186,7 +333,7 @@ def probe_bloom(candidates: DataFrame, bloom: BloomFilter, key_col: str = "url_c
 def seen_filter_exact(
     candidates: DataFrame,
     seen: DataFrame | None,
-    bloom: BloomFilter | None = None,
+    bloom: "BloomFilter | ShardedBloom | None" = None,
     key_col: str = "url_canon",
     measure_fpr: bool = False,
     cache_registry: "list[DataFrame] | None" = None,

@@ -267,3 +267,72 @@ def test_robots_group_crawl_delay_reaches_schedule(spark, tmp_path_factory):
         rows.sort()
         for i, (_rk, o) in enumerate(rows):
             assert abs(o - i * 2.5) < 1e-9, rows
+
+
+class TestShardedBloom:
+    """Host-bucket-sharded seen filter: same exact semantics as the
+    monolith (no false negatives; exact backstop identical), shard-wise
+    incremental merge, and fpr-in-lineage path unchanged."""
+
+    def _urls(self, lo, hi):
+        return [(f"https://h{i % 37}.example.com/p{i}",) for i in range(lo, hi)]
+
+    def test_exact_filter_parity_with_monolith(self, spark):
+        from podcast_plow_spark.operators.seen import build_sharded_bloom
+
+        seen = spark.createDataFrame(self._urls(0, 500), "url_canon string")
+        cand = spark.createDataFrame(self._urls(400, 900), "url_canon string")
+        sb = build_sharded_bloom(seen, "url_canon", n_shards=8)
+        unseen, _ = seen_filter_exact(cand, seen, sb)
+        got = {r["url_canon"] for r in unseen.collect()}
+        want = {u for (u,) in self._urls(500, 900)}
+        assert got == want
+
+    def test_incremental_shardwise_merge(self, spark):
+        from podcast_plow_spark.operators.seen import build_sharded_bloom
+
+        seen0 = spark.createDataFrame(self._urls(0, 300), "url_canon string")
+        delta = spark.createDataFrame(self._urls(300, 400), "url_canon string")
+        sb = build_sharded_bloom(seen0, "url_canon", n_shards=8)
+        sb2 = sb.merge(build_sharded_bloom(delta, "url_canon", like=sb))
+        # no false negatives over the union after the shard-wise OR
+        all_seen = spark.createDataFrame(self._urls(0, 400), "url_canon string")
+        from podcast_plow_spark.operators.seen import probe_bloom
+
+        probed = probe_bloom(all_seen, sb2)
+        assert probed.where(~F.col("maybe_seen")).count() == 0
+
+    def test_fpr_stats_path_with_shards(self, spark):
+        from podcast_plow_spark.operators.seen import build_sharded_bloom
+
+        seen = spark.createDataFrame(self._urls(0, 200), "url_canon string")
+        cand = spark.createDataFrame(self._urls(100, 300), "url_canon string")
+        sb = build_sharded_bloom(seen, "url_canon", n_shards=4)
+        unseen, stats = seen_filter_exact(cand, seen, sb, measure_fpr=True)
+        assert unseen.count() == 100
+        rows = stats.collect()
+        assert rows and all(r["urls_in"] >= 0 and r["bloom_pos"] >= 0 for r in rows)
+
+    def test_engine_run_identical_with_shards(self, spark, fixtures, tmp_path_factory):
+        """The sharded filter must not change ANY observable crawl
+        output: run the fixture crawl with and without shards and
+        compare crawl logs and frontiers row-for-row."""
+        outs = {}
+        for name, shards in (("mono", None), ("sharded", 4)):
+            store = SnapshotStore(str(tmp_path_factory.mktemp(f"sb_{name}")))
+            eng = CrawlEngine(
+                spark,
+                store,
+                fixtures.root,
+                config=CrawlConfig(
+                    batch_size=8, per_host_cap=2, num_partitions=4, bloom_shards=shards
+                ),
+            )
+            eng.run(seeds_path=f"{fixtures.root}/feeds.txt", max_epochs=100)
+            log = store.read_table(spark, "crawl_log")
+            fr_t = store.read_table(spark, "frontier")
+            outs[name] = (
+                sorted(map(tuple, log.select("epoch", "crawl_rank", "url_canon").collect())),
+                sorted(r["url_canon"] for r in fr_t.select("url_canon").collect()),
+            )
+        assert outs["mono"] == outs["sharded"]
