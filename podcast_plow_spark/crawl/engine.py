@@ -91,6 +91,11 @@ class CrawlConfig:
     #: per host by a robots Crawl-delay when present.
     crawl_delay_sec: float = 0.34
     max_connections: int = 1
+    #: refresh the dequeue's order-key threshold sample every N epochs
+    #: (between refreshes the dequeue runs zero sampling jobs; sample
+    #: staleness is correctness-free — prefix widens / falls back, and
+    #: sufficiency is verified live). 0 disables (sample every epoch).
+    presample_epochs: int = 4
 
 
 class CrawlEngine:
@@ -115,6 +120,10 @@ class CrawlEngine:
         # keeps correctness, only fpr degrades)
         self._bloom = None
         self._bloom_capacity = 1_000_000
+        # dequeue threshold presample, refreshed every
+        # cfg.presample_epochs (see run_epoch); None = sample inline
+        self._presample: list | None = None
+        self._presample_age = 0
 
     # -- helpers ---------------------------------------------------------
 
@@ -216,6 +225,11 @@ class CrawlEngine:
             # sizing count() — one less full-frontier scan per epoch
             n_hint=int(n_queued) if n_queued is not None else None,
             cache_registry=epoch_caches,
+            # threshold presample carried across epochs (refreshed
+            # every presample_epochs below) — removes the per-epoch
+            # sampling scan; staleness is correctness-free (the prefix
+            # widens / falls back, sufficiency is probed LIVE)
+            presample=self._presample,
         ).cache()
         batch = batch0
         n_batch = batch.count()
@@ -373,6 +387,26 @@ class CrawlEngine:
         if n_queued is not None:
             meta_out["n_queued"] = max(0, int(n_queued) - n_batch + n_new)
         self.store.commit(epoch, meta_out)
+
+        # --- threshold-presample maintenance: refresh the dequeue's
+        # order-key sample every presample_epochs from the just-merged
+        # frontier (one narrow sampled scan, amortized N×); between
+        # refreshes the dequeue runs ZERO sampling jobs. Age it out so
+        # a long crawl can't drift unboundedly.
+        self._presample_age += 1
+        if self.cfg.presample_epochs and (
+            self._presample is None or self._presample_age >= self.cfg.presample_epochs
+        ):
+            nq = meta_out.get("n_queued")
+            if nq:  # without a tracked queue size the inline sample is safer
+                new_frontier = self.store.read_table(self.spark, "frontier")
+                queued = new_frontier.where(F.col("status") == fr.STATUS_QUEUED).select(
+                    "priority", "run_at", "seq"
+                )
+                frac = min(1.0, 20_000 / max(int(nq), 1))
+                self._presample = queued.sample(False, frac, seed=42).collect()
+                self._presample_age = 0
+
         batch.unpersist()
         batch0.unpersist()
         # dequeue prefix/batch caches + the seen filter's probed cache

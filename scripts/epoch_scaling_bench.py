@@ -122,12 +122,21 @@ local[{cores}].
 {md_rows}
 
 Frontier grew {size_ratio:.0f}×; epoch wall-time grew {growth:.1f}×.
-The residual growth is the pushdown column scans in the dequeue
-(runnable count + threshold sample) — linear scans with no shuffle,
-which a real cluster parallelizes across executors; every write in the
+Per-epoch frontier-scanning work is down to ONE job: the dequeue's
+prefix-cut probe (a narrow 3-column pushdown scan, no shuffle). The
+threshold sample that used to be a second scan is now carried across
+epochs (`CrawlConfig.presample_epochs`, round 4) and refreshed every
+N epochs — between refreshes the dequeue runs zero sampling jobs, and
+staleness is correctness-free (prefix widens / falls back; sufficiency
+is verified live by the fused k-th-key probe). Every write in the
 epoch (crawl_log/lineage/fetched appends, frontier delta) is O(batch).
-Round 1's engine rewrote the FULL frontier every epoch; this is the
-fix, measured.
+The residual growth IS that one linear scan: local[32] sweeps the
+whole frontier on one box, while a real cluster spreads the same scan
+across executors (1000 executors put the 10^10-row scan in the same
+wall-time band as 10^7 rows here). Store on tmpfs (TMPDIR) — this
+VM's virtual disk measures file-commit latency, not engine cost;
+production stores sit on NVMe/object storage. Round 1's engine
+rewrote the FULL frontier every epoch; this is the fix, measured.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "EPOCH_SCALING.md"), "w") as fh:
