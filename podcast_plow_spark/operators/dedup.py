@@ -396,8 +396,9 @@ def phash_near_dup_pairs(
     """Perceptual-hash near-duplicate image pairs — the multimodal
     analog of MinHash-LSH, over the BASELINE input_hint's
     ``phash:int64`` column (sources/images.py computes it per decoded
-    payload; the reference crawler has no image dedup at all —
-    reference worker/media.py stops at byte-exact fingerprints).
+    payload; the reference has no image dedup at all — its nearest
+    kernel is byte-exact sha256 job fingerprints, reference
+    server/services/jobs.py:166-182).
 
     Banding: the 64-bit phash is split into ``n_bands`` contiguous
     ``bits_per_band``-bit keys; two images whose Hamming distance is

@@ -122,6 +122,8 @@ def main() -> None:
     ctrl_small_runs = [_run_control(small)]
     ctrl_large_runs = [_run_control(large)]
     pairs: list[dict] = []
+    progress_path = os.path.join(REPO, "BENCH", "scaling_pairs.jsonl")
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     for _ in range(n_pairs):
         a = _run_bench_once(small, n_urls)
         b = _run_bench_once(large, n_urls)
@@ -147,6 +149,10 @@ def main() -> None:
                 "norm_eff_overlap": round(ov_speedup / ceiling, 2) if ceiling > 0 else 0.0,
             }
         )
+        # incremental progress: a crash / out-of-time kill loses no
+        # completed pair (each line is one finished pair)
+        with open(progress_path, "a") as fh:
+            fh.write(json.dumps(pairs[-1]) + "\n")
     ctrl_small_runs.append(_run_control(small))
     ctrl_large_runs.append(_run_control(large))
 

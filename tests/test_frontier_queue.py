@@ -212,6 +212,31 @@ class TestDequeueBatchPolite:
         finally:
             frontier.unpersist()
 
+    def test_presample_matches_inline_sampling_even_stale(self, spark):
+        # a presample (the carried-across-epochs threshold sample) must
+        # never change the batch — even a wildly unrepresentative one
+        # (the prefix widens / falls back; sufficiency is probed live)
+        frontier = self._frontier(spark, n=3000).cache()
+        rows = frontier.select("host", "priority", "run_at", "seq").collect()
+        try:
+            expected = _greedy_oracle(rows, 120, 2)
+            fresh = (
+                frontier.select("priority", "run_at", "seq")
+                .sample(False, 500 / 3000, seed=7)
+                .collect()
+            )
+            stale = fresh[: len(fresh) // 10]  # 10% of the sample
+            skewed = [r for r in fresh if r["seq"] % 2 == 0]  # biased subset
+            for ps in (fresh, stale, skewed):
+                batch = fr.dequeue_batch_polite(
+                    frontier, 120, NOW, 2, sample_rows=500, small_n_cutoff=100,
+                    n_hint=3000, presample=ps,
+                )
+                got = [r["seq"] for r in batch.orderBy("crawl_rank").collect()]
+                assert got == expected, len(ps)
+        finally:
+            frontier.unpersist()
+
     def test_respects_run_at(self, spark):
         cand = _candidates(spark, [("u1", "u1", "a.com", "f1", 0, 1), ("u2", "u2", "b.com", "f2", 0, 2)])
         frontier = fr.enqueue(cand, epoch=0, run_at=NOW + dt.timedelta(hours=1))
