@@ -185,9 +185,44 @@ def frontier_throughput(
         batch's still-in-flight fetches), so they execute as concurrent
         job groups sharing the executor pool — fetch never idles the
         cluster while frontier maintenance runs, exactly as a real
-        frontier service overlaps the two. Throughput still counts both
+        frontier service overlaps the two. The maintenance tree starts
+        FIRST so the dequeue's probe jobs (a narrow filter+cache over
+        the frontier that underutilizes the pool on its own) interleave
+        with it instead of running alone. Throughput still counts both
         streams fully processed within the epoch; total work is
         unchanged, only the serial job-after-job dead time is gone."""
+        from pyspark import InheritableThread
+
+        # frontier maintenance in its own job group, started first:
+        # seen-filter the discovery stream (candidates extracted from
+        # PREVIOUSLY fetched pages — independent of this batch's
+        # in-flight work) and enqueue the survivors
+        maint_out: dict = {}
+
+        def _maintenance_job():
+            try:
+                fresh = synthetic_frontier(
+                    spark, k, partitions, salt=salt, host_mod=host_mod
+                ).withColumn("url_canon", canonicalize_url_udf(F.col("url"))).withColumn(
+                    "fingerprint", F.sha2(F.col("url_canon"), 256)
+                )
+                # cache_registry: the canonicalize+probe python stages
+                # would otherwise re-run for each broadcast subjob
+                # (maybe_keys, hits) and again in the main job —
+                # measured ~30% of the epoch
+                caches: list = []
+                unseen, _stats = seen_filter_exact(fresh, seen, bloom, cache_registry=caches)
+                new_rows = fr.enqueue(
+                    unseen, epoch=1, num_partitions=partitions, seq_base=n_urls, seq_mode="keyed"
+                )
+                maint_out["n_new"] = new_rows.count()
+                maint_out["caches"] = caches
+            except BaseException as exc:  # noqa: BLE001 — re-raised on join
+                maint_out["err"] = exc
+
+        t = InheritableThread(target=_maintenance_job)
+        t.start()
+
         # politeness-capped dequeue via the sampled global-order
         # PREFIX (dequeue_batch_polite): the per-host window ranks only
         # the ~k·safety-row prefix, never the full frontier — round 1
@@ -225,50 +260,22 @@ def frontier_throughput(
         # dq_caches non-empty ⟺ the sampled registry path engaged and
         # the batch IS a cut over the well-partitioned prefix cache
         decode_src = batch if dq_caches else batch.repartition(partitions)
-        processed = _decode_psnr_stage(decode_src)
-
-        # fetch/decode job group runs in its own thread: Spark's
-        # scheduler interleaves its tasks with the frontier-maintenance
-        # jobs below on the shared executor pool (a second job's tasks
-        # fill slots the decode leaves free and vice versa)
-        from pyspark import InheritableThread
-
-        decode_out: dict = {}
-
-        def _decode_job():
-            try:
-                decode_out["n_batch"] = processed.where(F.col("invariant_ok")).count()
-            except BaseException as exc:  # noqa: BLE001 — re-raised on join
-                decode_out["err"] = exc
-
-        t = InheritableThread(target=_decode_job)
-        t.start()
-
-        # frontier maintenance, concurrent with the decode: seen-filter
-        # the discovery stream (candidates extracted from PREVIOUSLY
-        # fetched pages — independent of this batch's in-flight work)
-        # and enqueue the survivors
-        fresh = synthetic_frontier(spark, k, partitions, salt=salt, host_mod=host_mod).withColumn(
-            "url_canon", canonicalize_url_udf(F.col("url"))
-        ).withColumn("fingerprint", F.sha2(F.col("url_canon"), 256))
-        # cache_registry: the canonicalize+probe python stages would
-        # otherwise re-run for each broadcast subjob (maybe_keys, hits)
-        # and again in the main job — measured ~30% of the epoch
-        caches: list = []
-        unseen, _stats = seen_filter_exact(fresh, seen, bloom, cache_registry=caches)
-        new_rows = fr.enqueue(unseen, epoch=1, num_partitions=partitions, seq_base=n_urls, seq_mode="keyed")
-        n_new = new_rows.count()
+        # fetch/decode on the main thread, concurrent with the
+        # maintenance job group: Spark's scheduler interleaves the two
+        # trees' tasks on the shared executor pool (one tree's tasks
+        # fill slots the other leaves free and vice versa)
+        n_batch = _decode_psnr_stage(decode_src).where(F.col("invariant_ok")).count()
 
         t.join()
-        if "err" in decode_out:
-            raise decode_out["err"]
-        n_batch = decode_out["n_batch"]
+        if "err" in maint_out:
+            raise maint_out["err"]
+        n_new = maint_out["n_new"]
         assert n_batch == k, f"invariant failed for {k - n_batch} rows"
         # release per-epoch caches only after BOTH streams are done
         # (the decode reads the dequeue's eligible-prefix cache)
         for h in dq_caches:
             h.unpersist()
-        for h in caches:
+        for h in maint_out.get("caches", []):
             h.unpersist()
         return n_batch, n_new
 
@@ -368,6 +375,18 @@ if __name__ == "__main__":
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     spark = get_spark(app_name=f"frontier-bench-{cores}", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
+    # The in-process ceiling BRACKETS the epochs (measured before AND
+    # after, min of all reps): a hypervisor-steal burst that lands on a
+    # single control window would otherwise inflate/deflate the
+    # ceiling and bias the pair's normalized efficiency in either
+    # direction (r4 pair audit: one post-only control sat in a 319 s
+    # steal burst and turned a 2.91× speedup into a reported 0.61
+    # efficiency). Smaller control input (n/8) buys more reps for the
+    # same wall time; only the small/large RATIO of the control is
+    # consumed, so the input size cancels.
+    want_ctrl = os.environ.get("SPARK_GRAFT_INPROC_CONTROL", "0") == "1"
+    ctrl_n = max(1, n // 8)
+    ctrl_pre = kernel_control(spark, ctrl_n, reps=2) if want_ctrl else None
     tput = frontier_throughput(spark, n_urls=n)
     out = {
         "cores": cores,
@@ -375,7 +394,10 @@ if __name__ == "__main__":
         "urls_per_sec": round(tput["urls_per_sec"], 1),
         "urls_per_sec_overlap": round(tput["urls_per_sec_overlap"], 1),
     }
-    if os.environ.get("SPARK_GRAFT_INPROC_CONTROL", "0") == "1":
-        out["kernel_control_sec"] = round(kernel_control(spark, max(1, n // 4)), 2)
+    if want_ctrl:
+        ctrl_post = kernel_control(spark, ctrl_n, reps=2)
+        out["kernel_control_sec"] = round(min(ctrl_pre, ctrl_post), 2)
+        out["kernel_control_pre_sec"] = round(ctrl_pre, 2)
+        out["kernel_control_post_sec"] = round(ctrl_post, 2)
     print(json.dumps(out))
     spark.stop()

@@ -138,6 +138,14 @@ def main() -> None:
                 "tput_large_overlap": b["urls_per_sec_overlap"],
                 "kctrl_small_sec": a["kernel_control_sec"],
                 "kctrl_large_sec": b["kernel_control_sec"],
+                "kctrl_small_pre_post": [
+                    a.get("kernel_control_pre_sec"),
+                    a.get("kernel_control_post_sec"),
+                ],
+                "kctrl_large_pre_post": [
+                    b.get("kernel_control_pre_sec"),
+                    b.get("kernel_control_post_sec"),
+                ],
                 "steal_small_sec": a["steal_sec"],
                 "steal_large_sec": b["steal_sec"],
                 "wall_small_sec": a["wall_sec"],
@@ -231,6 +239,13 @@ efficiency
     (tput_{large} / tput_{small}) / (kctrl_{small}_sec / kctrl_{large}_sec)
 
 is mode-matched and cancels process-wide mode differences.
+
+The control BRACKETS the epochs inside each process — measured before
+AND after, min of all reps (r4: a post-only control that landed in a
+one-sided steal burst turned a 2.91× pair speedup into a reported
+0.61 efficiency; the bracketed min is robust to a burst that covers
+either single window). Per-side pre/post control times are recorded
+in `scaling_pairs.jsonl`.
 
 **Headline statistic: the MEDIAN mode-matched pair efficiency** — the
 conservative figure (steal bursts that hit one side of a pair
