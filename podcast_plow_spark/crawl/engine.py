@@ -176,8 +176,18 @@ class CrawlEngine:
         )
         n = rows.count()
         # frontier is BUCKETED by host_hash (Iceberg bucket(N, host)
-        # analog) — epochs later rewrite only the buckets they touch
-        self.store.write_bucketed("frontier", rows, bucket_col="host_hash")
+        # analog) — epochs later rewrite only the buckets they touch —
+        # and WRITE ORDERED BY the dequeue key: row-group min/max
+        # stats then let the dequeue's pushed order-key prefix filter
+        # skip nearly the whole store instead of scanning it (the
+        # frontier scan was the last O(frontier) term in the epoch;
+        # see BENCH/EPOCH_SCALING.md)
+        self.store.write_bucketed(
+            "frontier",
+            rows,
+            bucket_col="host_hash",
+            order_by=[["priority", "desc"], ["run_at", "asc"], ["seq", "asc"]],
+        )
         # side tables are APPEND tables: each epoch adds one part,
         # history is never re-read or re-written
         empty_log = self.spark.createDataFrame(

@@ -51,6 +51,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (the legacy default) has no usable column stats —
+        # TIMESTAMP_MICROS makes run_at row-group min/max real, so the
+        # dequeue's order-key prefix filter can prune WRITE ORDERED BY
+        # frontier files on its timestamp component, not just priority
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local mode: driver heap IS the executor heap — size it for
         # 32 concurrent task threads (execution memory) + cached tables,

@@ -73,6 +73,12 @@ __all__ = ["SnapshotStore"]
 _BUCKET_DIR_COL = "__bucket"
 
 
+def _order_cols(order_by: list) -> list:
+    """Manifest-serializable sort spec → Column list.
+    ``order_by`` is ``[[col, "asc"|"desc"], ...]``."""
+    return [F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order_by]
+
+
 class SnapshotStore:
     def __init__(self, root: str):
         self.root = root
@@ -99,20 +105,48 @@ class SnapshotStore:
         self._staged[name] = rel
         return path
 
-    def write_bucketed(self, name: str, df: DataFrame, bucket_col: str = "host_hash") -> None:
+    def write_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_col: str = "host_hash",
+        order_by: list | None = None,
+    ) -> None:
         """Stage a bucketed table: one data directory per distinct
         ``bucket_col`` value, each individually addressable by the
         manifest (→ :meth:`merge_buckets` can later swap single
         buckets). ``bucket_col`` stays IN the data files (the directory
         key is a copy), so reading any subset of buckets yields the
-        full schema."""
+        full schema.
+
+        ``order_by`` (``[[col, "asc"|"desc"], ...]``) is the Iceberg
+        ``WRITE ORDERED BY`` analog: rows are clustered one bucket per
+        task and sorted by the given key inside each file, so parquet
+        row-group min/max stats become selective for range/prefix
+        filters on the leading sort columns — a reader's pushed
+        prefix predicate (e.g. the dequeue's order-key cut) then skips
+        almost every row group instead of scanning the table. The sort
+        spec is recorded in the manifest and reapplied by delta
+        compaction, so the property survives merge-on-read rewrites."""
         rel = self._new_version_rel(name)
         path = os.path.join(self.root, rel)
-        df.withColumn(_BUCKET_DIR_COL, F.col(bucket_col)).write.mode("overwrite").partitionBy(
-            _BUCKET_DIR_COL
-        ).parquet(path)
+        out = df.withColumn(_BUCKET_DIR_COL, F.col(bucket_col))
+        if order_by:
+            # one task per bucket + in-file order: the writer's
+            # required partition-column ordering is already satisfied
+            # by the leading sort key, so no extra sort is inserted
+            # and the secondary (dequeue-key) order reaches the file
+            out = out.repartition(F.col(_BUCKET_DIR_COL)).sortWithinPartitions(
+                F.col(_BUCKET_DIR_COL), *_order_cols(order_by)
+            )
+        out.write.mode("overwrite").partitionBy(_BUCKET_DIR_COL).parquet(path)
         buckets = self._scan_bucket_dirs(rel)
-        self._staged[name] = {"kind": "bucketed", "bucket_col": bucket_col, "buckets": buckets}
+        self._staged[name] = {
+            "kind": "bucketed",
+            "bucket_col": bucket_col,
+            "buckets": buckets,
+            "write_order": list(order_by) if order_by else [],
+        }
 
     def merge_buckets(self, name: str, touched_df: DataFrame, bucket_col: str | None = None) -> list[int]:
         """Bucket-pruned MERGE: ``touched_df`` is the complete new
@@ -126,15 +160,26 @@ class SnapshotStore:
         entry = self._current_entry(name)
         assert isinstance(entry, dict) and entry.get("kind") == "bucketed", f"{name} is not bucketed"
         bucket_col = bucket_col or entry["bucket_col"]
+        write_order = entry.get("write_order", [])
         rel = self._new_version_rel(name)
         path = os.path.join(self.root, rel)
-        touched_df.withColumn(_BUCKET_DIR_COL, F.col(bucket_col)).write.mode("overwrite").partitionBy(
-            _BUCKET_DIR_COL
-        ).parquet(path)
+        out = touched_df.withColumn(_BUCKET_DIR_COL, F.col(bucket_col))
+        if write_order:
+            # preserve the table's WRITE ORDERED BY property across
+            # bucket rewrites (see write_bucketed)
+            out = out.repartition(F.col(_BUCKET_DIR_COL)).sortWithinPartitions(
+                F.col(_BUCKET_DIR_COL), *_order_cols(write_order)
+            )
+        out.write.mode("overwrite").partitionBy(_BUCKET_DIR_COL).parquet(path)
         new_buckets = self._scan_bucket_dirs(rel)
         merged = dict(entry["buckets"])
         merged.update(new_buckets)
-        self._staged[name] = {"kind": "bucketed", "bucket_col": bucket_col, "buckets": merged}
+        self._staged[name] = {
+            "kind": "bucketed",
+            "bucket_col": bucket_col,
+            "buckets": merged,
+            "write_order": write_order,
+        }
         return sorted(int(k) for k in new_buckets)
 
     def merge_delta(self, name: str, updates: DataFrame, key_col: str = "seq", approx_rows: int | None = None) -> None:

@@ -206,6 +206,114 @@ class TestMergeOnRead:
         assert rows[1] == "finished" and len(rows) == 2  # seqs 1, 5
 
 
+class TestWriteOrdered:
+    """WRITE ORDERED BY analog: order-key sort inside each bucket file
+    makes parquet row-group min/max stats selective for the dequeue's
+    pushed prefix filter (the Iceberg sort-order property the 10^10
+    epoch-flatness design relies on — BENCH/EPOCH_SCALING.md)."""
+
+    ORDER = [["priority", "desc"], ["run_at", "asc"], ["seq", "asc"]]
+
+    @staticmethod
+    def _rows(spark, n, seed_shift=0):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [
+                (
+                    i + seed_shift,
+                    i % 4,
+                    f"u{i + seed_shift}",
+                    "queued",
+                    (i * 7 + seed_shift) % 10,
+                    base + dt.timedelta(seconds=(i * 13) % 1000),
+                )
+                for i in range(n)
+            ],
+            "seq long, host_hash int, url_canon string, status string, priority int, run_at timestamp",
+        )
+
+    @staticmethod
+    def _files_sorted_by_priority_desc(root, rel_entry) -> bool:
+        """Every data file's rows are non-increasing in priority —
+        verified from the files themselves via pyarrow."""
+        import pyarrow.parquet as pq
+
+        ok = True
+        for rel in rel_entry["buckets"].values():
+            path = os.path.join(root, rel)
+            for f in os.listdir(path):
+                if not f.endswith(".parquet"):
+                    continue
+                col = pq.read_table(os.path.join(path, f), columns=["priority"])["priority"].to_pylist()
+                ok = ok and all(a >= b for a, b in zip(col, col[1:]))
+        return ok
+
+    def test_files_are_order_sorted_and_rows_intact(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path))
+        df = self._rows(spark, 200)
+        store.write_bucketed("frontier", df, order_by=self.ORDER)
+        store.commit(0)
+        entry = store.table_entry("frontier")
+        assert entry["write_order"] == self.ORDER
+        assert self._files_sorted_by_priority_desc(str(tmp_path), entry)
+        back = store.read_table(spark, "frontier")
+        assert sorted(r["seq"] for r in back.collect()) == list(range(200))
+
+    def test_compaction_preserves_write_order(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path))
+        store.write_bucketed("frontier", self._rows(spark, 200), order_by=self.ORDER)
+        store.commit(0)
+        store.merge_delta("frontier", self._rows(spark, 40, seed_shift=1000))
+        store.commit(1)
+        pre = sorted(tuple(r) for r in store.read_table(spark, "frontier").collect())
+        store.compact_deltas("frontier")
+        store.commit(2)
+        entry = store.table_entry("frontier")
+        assert entry["write_order"] == self.ORDER
+        assert self._files_sorted_by_priority_desc(str(tmp_path), entry)
+        assert sorted(tuple(r) for r in store.read_table(spark, "frontier").collect()) == pre
+
+    def test_prefix_filter_prunes_row_groups(self, spark, tmp_path):
+        """The point of the property: a dequeue-shaped prefix filter
+        over the store reads only the head row groups. Verified via
+        pyarrow stats (each file's later row groups are skippable) —
+        Spark-side the same stats drive filterPushdown row-group
+        skipping."""
+        import pyarrow.parquet as pq
+
+        store = SnapshotStore(str(tmp_path))
+        store.write_bucketed("frontier", self._rows(spark, 2000), order_by=self.ORDER)
+        store.commit(0)
+        entry = store.table_entry("frontier")
+        # the prefix cut: priority > 8 — with priority-desc in-file
+        # order, row groups whose max priority <= 8 are skippable
+        for rel in entry["buckets"].values():
+            path = os.path.join(str(tmp_path), rel)
+            for f in os.listdir(path):
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(path, f)).metadata
+                maxes = [
+                    md.row_group(i).column(
+                        next(
+                            j
+                            for j in range(md.num_columns)
+                            if md.row_group(i).column(j).path_in_schema == "priority"
+                        )
+                    ).statistics.max
+                    for i in range(md.num_row_groups)
+                ]
+                # priority maxima never increase across row groups —
+                # a 'priority > p' filter prunes a contiguous tail
+                assert all(a >= b for a, b in zip(maxes, maxes[1:]))
+        # and the filtered read is still correct
+        got = store.read_table(spark, "frontier").where(F.col("priority") > 8).count()
+        expect = sum(1 for i in range(2000) if (i * 7) % 10 > 8)
+        assert got == expect
+
+
 def test_engine_epoch_is_delta_only_then_compaction_prunes(spark, tmp_path_factory):
     """Engine persistence contract at scale: a normal epoch moves NO
     bucket pointers (merge-on-read delta only — O(batch) write); with
