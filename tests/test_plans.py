@@ -144,6 +144,58 @@ def test_polite_dequeue_store_read_no_full_frontier_exchange(spark, tmp_path_fac
         assert "seq#" in seg and "priority#" in seg, seg  # the prefix predicate
 
 
+def test_prefix_filter_pushed_through_mor_overlay(spark, tmp_path_factory):
+    """WRITE ORDERED BY only pays off if the dequeue's order-key
+    prefix predicate reaches the BASE parquet scan as PushedFilters —
+    through the merge-on-read overlay (left-anti delta join + union).
+    With it pushed, row-group min/max stats on the sorted files skip
+    the store's tail; without it, the scan reads everything and
+    filters above."""
+    import datetime as dt
+
+    from podcast_plow_spark.operators import frontier as fr
+    from podcast_plow_spark.sources.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path_factory.mktemp("ordered_store")))
+    base = spark.range(0, 5000, 1, 8)
+    raw = (
+        base.select(
+            F.concat(F.lit("https://h"), (F.col("id") % 500).cast("string"), F.lit(".com/p"), F.col("id").cast("string")).alias("url"),
+            F.concat(F.lit("h"), (F.col("id") % 500).cast("string"), F.lit(".com")).alias("host"),
+            F.col("id").alias("seq_key"),
+            (F.col("id") % 10).cast("int").alias("priority"),
+        )
+        .withColumn("url_canon", F.col("url"))
+        .withColumn("fingerprint", F.sha2(F.col("url"), 256))
+    )
+    store.write_bucketed(
+        "frontier",
+        fr.enqueue(raw, epoch=0, seq_mode="keyed"),
+        order_by=[["priority", "desc"], ["run_at", "asc"], ["seq", "asc"]],
+    )
+    store.commit(0)
+    # stage a small delta so read_table builds the MoR overlay
+    upd = store.read_table(spark, "frontier").limit(3).withColumn("status", F.lit("finished"))
+    store.merge_delta("frontier", upd)
+    store.commit(1)
+
+    frontier = store.read_table(spark, "frontier")
+    cut = frontier.where(
+        (F.col("priority") > 8)
+        | (
+            (F.col("priority") == 8)
+            & (F.col("run_at") <= F.lit(dt.datetime(2024, 1, 1)))
+        )
+    )
+    plan = _plan(cut)
+    assert "PushedFilters" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "priority" in ln]
+    # the prefix predicate (an Or over the order key) reaches at least
+    # the base scan — Catalyst pushes the filter through the union and
+    # the anti-join's left side
+    assert any("Or(GreaterThan(priority,8)" in ln for ln in pushed), plan
+
+
 def test_word_shingles_has_no_exchange(spark):
     """Per-doc shingle dedup is row-local (array_distinct before the
     explode) — no global distinct shuffle over the exploded relation."""
