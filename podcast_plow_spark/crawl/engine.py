@@ -187,6 +187,9 @@ class CrawlEngine:
             rows,
             bucket_col="host_hash",
             order_by=[["priority", "desc"], ["run_at", "asc"], ["seq", "asc"]],
+            # 16 MB row groups = the pruning quantum: a prefix cut
+            # reads ~1 group per bucket instead of whole bucket files
+            row_group_bytes=16 << 20,
         )
         # side tables are APPEND tables: each epoch adds one part,
         # history is never re-read or re-written

@@ -111,6 +111,7 @@ class SnapshotStore:
         df: DataFrame,
         bucket_col: str = "host_hash",
         order_by: list | None = None,
+        row_group_bytes: int | None = None,
     ) -> None:
         """Stage a bucketed table: one data directory per distinct
         ``bucket_col`` value, each individually addressable by the
@@ -127,7 +128,16 @@ class SnapshotStore:
         prefix predicate (e.g. the dequeue's order-key cut) then skips
         almost every row group instead of scanning the table. The sort
         spec is recorded in the manifest and reapplied by delta
-        compaction, so the property survives merge-on-read rewrites."""
+        compaction, so the property survives merge-on-read rewrites.
+
+        ``row_group_bytes`` (Iceberg ``write.parquet.row-group-size-
+        bytes`` analog): the row group is the pruning QUANTUM — at the
+        writer default (128 MB) a ~100 MB bucket file is ONE group
+        whose stats span the whole key range and nothing skips; a
+        smaller group size makes the sorted file's stats fine-grained
+        (e.g. 16 MB → a prefix cut reads ~1 group per bucket instead
+        of the file). Recorded in the manifest alongside the sort
+        spec so compaction rewrites keep the granularity."""
         rel = self._new_version_rel(name)
         path = os.path.join(self.root, rel)
         out = df.withColumn(_BUCKET_DIR_COL, F.col(bucket_col))
@@ -139,13 +149,17 @@ class SnapshotStore:
             out = out.repartition(F.col(_BUCKET_DIR_COL)).sortWithinPartitions(
                 F.col(_BUCKET_DIR_COL), *_order_cols(order_by)
             )
-        out.write.mode("overwrite").partitionBy(_BUCKET_DIR_COL).parquet(path)
+        writer = out.write.mode("overwrite")
+        if row_group_bytes:
+            writer = writer.option("parquet.block.size", str(int(row_group_bytes)))
+        writer.partitionBy(_BUCKET_DIR_COL).parquet(path)
         buckets = self._scan_bucket_dirs(rel)
         self._staged[name] = {
             "kind": "bucketed",
             "bucket_col": bucket_col,
             "buckets": buckets,
             "write_order": list(order_by) if order_by else [],
+            **({"row_group_bytes": int(row_group_bytes)} if row_group_bytes else {}),
         }
 
     def merge_buckets(self, name: str, touched_df: DataFrame, bucket_col: str | None = None) -> list[int]:
@@ -161,6 +175,7 @@ class SnapshotStore:
         assert isinstance(entry, dict) and entry.get("kind") == "bucketed", f"{name} is not bucketed"
         bucket_col = bucket_col or entry["bucket_col"]
         write_order = entry.get("write_order", [])
+        row_group_bytes = entry.get("row_group_bytes")
         rel = self._new_version_rel(name)
         path = os.path.join(self.root, rel)
         out = touched_df.withColumn(_BUCKET_DIR_COL, F.col(bucket_col))
@@ -170,7 +185,10 @@ class SnapshotStore:
             out = out.repartition(F.col(_BUCKET_DIR_COL)).sortWithinPartitions(
                 F.col(_BUCKET_DIR_COL), *_order_cols(write_order)
             )
-        out.write.mode("overwrite").partitionBy(_BUCKET_DIR_COL).parquet(path)
+        writer = out.write.mode("overwrite")
+        if row_group_bytes:
+            writer = writer.option("parquet.block.size", str(int(row_group_bytes)))
+        writer.partitionBy(_BUCKET_DIR_COL).parquet(path)
         new_buckets = self._scan_bucket_dirs(rel)
         merged = dict(entry["buckets"])
         merged.update(new_buckets)
@@ -179,6 +197,7 @@ class SnapshotStore:
             "bucket_col": bucket_col,
             "buckets": merged,
             "write_order": write_order,
+            **({"row_group_bytes": int(row_group_bytes)} if row_group_bytes else {}),
         }
         return sorted(int(k) for k in new_buckets)
 

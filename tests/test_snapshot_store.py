@@ -284,9 +284,16 @@ class TestWriteOrdered:
         import pyarrow.parquet as pq
 
         store = SnapshotStore(str(tmp_path))
-        store.write_bucketed("frontier", self._rows(spark, 2000), order_by=self.ORDER)
+        # tiny row groups (the pruning quantum — Iceberg
+        # write.parquet.row-group-size-bytes analog) so this small
+        # fixture actually exercises multi-group stats
+        store.write_bucketed(
+            "frontier", self._rows(spark, 2000), order_by=self.ORDER, row_group_bytes=16 << 10
+        )
         store.commit(0)
         entry = store.table_entry("frontier")
+        assert entry["row_group_bytes"] == 16 << 10
+        multi_group = False
         # the prefix cut: priority > 8 — with priority-desc in-file
         # order, row groups whose max priority <= 8 are skippable
         for rel in entry["buckets"].values():
@@ -295,6 +302,7 @@ class TestWriteOrdered:
                 if not f.endswith(".parquet"):
                     continue
                 md = pq.ParquetFile(os.path.join(path, f)).metadata
+                multi_group = multi_group or md.num_row_groups > 1
                 maxes = [
                     md.row_group(i).column(
                         next(
@@ -308,6 +316,8 @@ class TestWriteOrdered:
                 # priority maxima never increase across row groups —
                 # a 'priority > p' filter prunes a contiguous tail
                 assert all(a >= b for a, b in zip(maxes, maxes[1:]))
+        # the quantum knob actually produced sub-file row groups
+        assert multi_group
         # and the filtered read is still correct
         got = store.read_table(spark, "frontier").where(F.col("priority") > 8).count()
         expect = sum(1 for i in range(2000) if (i * 7) % 10 > 8)
