@@ -49,7 +49,16 @@ def build_store(spark, n: int, root: str, npart: int) -> SnapshotStore:
     )
     rows = fr.enqueue(raw, epoch=0, num_partitions=npart, seq_mode="keyed")
     store = SnapshotStore(root)
-    store.write_bucketed("frontier", rows, bucket_col="host_hash")
+    # same layout as CrawlEngine.bootstrap: WRITE ORDERED BY the
+    # dequeue key + 16 MB row groups, so the dequeue's pushed prefix
+    # filter prunes row groups instead of scanning the frontier
+    store.write_bucketed(
+        "frontier",
+        rows,
+        bucket_col="host_hash",
+        order_by=[["priority", "desc"], ["run_at", "asc"], ["seq", "asc"]],
+        row_group_bytes=16 << 20,
+    )
     store.append_table(
         "crawl_log",
         # schema must match CrawlEngine.bootstrap exactly — the engine

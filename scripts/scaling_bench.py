@@ -24,8 +24,16 @@ stream (round-over-round series) and an all-already-seen stream (the
 heaviest seen-filter path — every candidate Bloom-positive, exact
 broadcast backstop exercised); efficiency is reported for both.
 
-Usage: python scripts/scaling_bench.py [n_urls] [n_pairs]
+Usage: python scripts/scaling_bench.py [n_urls] [n_pairs] [--resume]
 Writes BENCH/BASELINE.md and prints one JSON line.
+
+--resume: load previously completed pairs from
+BENCH/scaling_pairs.jsonl and run only the REMAINING pairs (n_pairs
+is the total); statistics and the BASELINE.md table are computed over
+ALL pairs. Lets a killed/out-of-time session top up the series
+without rerunning finished pairs — every jsonl line is one finished
+pair of the same methodology (same bench code, same bracketed
+in-process control), so folding them is sound.
 """
 
 from __future__ import annotations
@@ -115,16 +123,23 @@ def _run_control(cores: str) -> float:
 
 
 def main() -> None:
-    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    args = [a for a in sys.argv[1:] if a != "--resume"]
+    resume = "--resume" in sys.argv[1:]
+    n_urls = int(args[0]) if len(args) > 0 else 1_000_000
+    n_pairs = int(args[1]) if len(args) > 1 else 8
     small, large = "8", "32"
 
-    ctrl_small_runs = [_run_control(small)]
-    ctrl_large_runs = [_run_control(large)]
     pairs: list[dict] = []
     progress_path = os.path.join(REPO, "BENCH", "scaling_pairs.jsonl")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    for _ in range(n_pairs):
+    if resume and os.path.exists(progress_path):
+        with open(progress_path) as fh:
+            pairs = [json.loads(ln) for ln in fh if ln.strip()]
+    n_remaining = max(0, n_pairs - len(pairs))
+
+    ctrl_small_runs = [_run_control(small)]
+    ctrl_large_runs = [_run_control(large)]
+    for _ in range(n_remaining):
         a = _run_bench_once(small, n_urls)
         b = _run_bench_once(large, n_urls)
         speedup = b["urls_per_sec"] / a["urls_per_sec"]
