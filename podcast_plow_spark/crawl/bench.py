@@ -141,12 +141,16 @@ def frontier_throughput(
     batch_frac: float = 0.25,
     partitions: int | None = None,
     warmup: bool = True,
-) -> float:
+) -> dict[str, float]:
     """One full crawl epoch over a synthetic frontier: politeness-capped
     dequeue → fetch+process (decode + PSNR invariant) → Bloom+exact
     seen-filter of fresh candidates → enqueue. Measured steady-state
     (one warm-up epoch first: JVM JIT + Python-worker spin-up are
-    cluster amortized costs, not per-epoch costs)."""
+    cluster amortized costs, not per-epoch costs).
+
+    Returns ``{"urls_per_sec": best fresh-candidate throughput,
+    "urls_per_sec_overlap": throughput with a ~100% already-seen
+    candidate stream (heaviest seen-filter path)}``."""
     import datetime as dt
 
     if partitions is None:
@@ -223,51 +227,71 @@ def frontier_throughput(
         t = InheritableThread(target=_maintenance_job)
         t.start()
 
+        def _cleanup_after_error():
+            # if the main-thread dequeue/schedule/decode raises, still
+            # join the maintenance thread and release every cache both
+            # streams registered — otherwise the cached DataFrames (and
+            # a running job tree) leak into subsequent reps
+            t.join()
+            for h in dq_caches + maint_out.get("caches", []):
+                try:
+                    h.unpersist()
+                except Exception:  # noqa: BLE001 — best-effort release
+                    pass
+
         # politeness-capped dequeue via the sampled global-order
         # PREFIX (dequeue_batch_polite): the per-host window ranks only
         # the ~k·safety-row prefix, never the full frontier — round 1
         # windowed all N rows here, a memory-bandwidth-flat stage that
         # capped single-box scaling
         dq_caches: list = []
-        dequeued = fr.dequeue_batch_polite(
-            frontier,
-            k,
-            now=dt.datetime(2024, 1, 1),
-            per_host_cap=1000,
-            n_hint=n_urls,
-            safety=1.3,
-            with_rank=False,
-            cache_registry=dq_caches,
-            presample=presample,
-        )
-        # narrow to the columns the schedule + decode actually use —
-        # the two downstream shuffles then move 3 short columns, not
-        # full frontier rows
-        batch = schedule_fetches(
-            dequeued.select("url_canon", "host", "seq"), crawl_delay_sec=0.01, rank_col="seq"
-        )
-        # fetch+process: decode payload, verify PSNR invariant, phash —
-        # the per-URL CPU an image crawl actually spends. In registry
-        # mode the batch is a filter over the host-partitioned prefix
-        # cache — already `partitions` well-balanced partitions (the
-        # per-host cap bounds the hot host's contribution), so feeding
-        # the decode directly skips a pure-overhead exchange (measured
-        # ~3 s/epoch at local[32]). The guard repartitions only if a
-        # fallback dequeue path handed us a degenerate layout (e.g. the
-        # single-partition TakeOrdered shape), where AQE-less narrow
-        # plans would otherwise serialize this embarrassingly-parallel
-        # stage.
-        # dq_caches non-empty ⟺ the sampled registry path engaged and
-        # the batch IS a cut over the well-partitioned prefix cache
-        decode_src = batch if dq_caches else batch.repartition(partitions)
-        # fetch/decode on the main thread, concurrent with the
-        # maintenance job group: Spark's scheduler interleaves the two
-        # trees' tasks on the shared executor pool (one tree's tasks
-        # fill slots the other leaves free and vice versa)
-        n_batch = _decode_psnr_stage(decode_src).where(F.col("invariant_ok")).count()
+        try:
+            dequeued = fr.dequeue_batch_polite(
+                frontier,
+                k,
+                now=dt.datetime(2024, 1, 1),
+                per_host_cap=1000,
+                n_hint=n_urls,
+                safety=1.3,
+                with_rank=False,
+                cache_registry=dq_caches,
+                presample=presample,
+            )
+            # narrow to the columns the schedule + decode actually
+            # use — the two downstream shuffles then move 3 short
+            # columns, not full frontier rows
+            batch = schedule_fetches(
+                dequeued.select("url_canon", "host", "seq"), crawl_delay_sec=0.01, rank_col="seq"
+            )
+            # fetch+process: decode payload, verify PSNR invariant,
+            # phash — the per-URL CPU an image crawl actually spends.
+            # In registry mode the batch is a filter over the
+            # host-partitioned prefix cache — already `partitions`
+            # well-balanced partitions (the per-host cap bounds the hot
+            # host's contribution), so feeding the decode directly
+            # skips a pure-overhead exchange (measured ~3 s/epoch at
+            # local[32]). The guard repartitions only if a fallback
+            # dequeue path handed us a degenerate layout (e.g. the
+            # single-partition TakeOrdered shape), where AQE-less
+            # narrow plans would otherwise serialize this
+            # embarrassingly-parallel stage.
+            # dq_caches non-empty ⟺ the sampled registry path
+            # engaged and the batch IS a cut over the well-partitioned
+            # prefix cache
+            decode_src = batch if dq_caches else batch.repartition(partitions)
+            # fetch/decode on the main thread, concurrent with the
+            # maintenance job group: Spark's scheduler interleaves the
+            # two trees' tasks on the shared executor pool (one tree's
+            # tasks fill slots the other leaves free and vice versa)
+            n_batch = _decode_psnr_stage(decode_src).where(F.col("invariant_ok")).count()
+        except BaseException:
+            _cleanup_after_error()
+            raise
 
         t.join()
         if "err" in maint_out:
+            for h in dq_caches:
+                h.unpersist()
             raise maint_out["err"]
         n_new = maint_out["n_new"]
         assert n_batch == k, f"invariant failed for {k - n_batch} rows"

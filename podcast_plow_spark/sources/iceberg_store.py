@@ -43,6 +43,38 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["iceberg_available", "IcebergStore"]
 
 
+# -- SQL builders (module-level so the DDL/DML surface is testable
+# without the runtime jar — the golden-SQL tests in
+# tests/test_iceberg_store.py pin these strings) ------------------------
+
+
+def merge_sql(tbl: str, view: str, key_col: str) -> str:
+    """The engine's per-epoch upsert as one Iceberg MERGE INTO."""
+    return (
+        f"MERGE INTO {tbl} t USING {view} u "
+        f"ON t.{key_col} = u.{key_col} "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def write_ordered_by_sql(tbl: str, order_by: list) -> str:
+    """Iceberg table sort order: files written by any engine writer
+    (initial load, MERGE, compaction) cluster by the dequeue key."""
+    return f"ALTER TABLE {tbl} WRITE ORDERED BY " + ", ".join(
+        f"{c} {d.upper()}" for c, d in order_by
+    )
+
+
+def compact_sql(catalog: str, namespace: str, name: str) -> str:
+    """Amortized MoR compaction via the rewrite_data_files procedure."""
+    return (
+        f"CALL {catalog}.system.rewrite_data_files("
+        f"table => '{namespace}.{name}', "
+        "options => map('delete-file-threshold', '1'))"
+    )
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True iff the Iceberg Spark runtime is loadable in this JVM."""
     try:
@@ -102,21 +134,51 @@ class IcebergStore:
         w.createOrReplace()
         return self._tbl(name)
 
-    def write_bucketed(self, name: str, df: DataFrame, bucket_col: str = "host_hash") -> None:
+    def write_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_col: str = "host_hash",
+        order_by: list | None = None,
+        row_group_bytes: int | None = None,
+    ) -> None:
         """Frontier layout: ``PARTITIONED BY (bucket(N, host_col))`` +
         merge-on-read so per-epoch MERGEs write deletes+data files,
-        never rewrite buckets (SCALE_DESIGN's O(batch) epoch cost)."""
+        never rewrite buckets (SCALE_DESIGN's O(batch) epoch cost).
+
+        Same signature as :meth:`SnapshotStore.write_bucketed` so the
+        engine never branches on which store it holds:
+
+        - ``order_by`` (``[[col, "asc"|"desc"], ...]``) maps to Iceberg's
+          table sort order — ``ALTER TABLE ... WRITE ORDERED BY`` — so
+          every writer (including later MERGE/compaction rewrites)
+          clusters files by the dequeue key and parquet/ORC min-max
+          stats stay selective for order-key prefix filters.
+        - ``row_group_bytes`` maps to the ``write.parquet.row-group-
+          size-bytes`` table property: the pruning quantum for those
+          stats (see SnapshotStore.write_bucketed's docstring).
+        """
         from pyspark.sql import functions as F
 
-        (
+        if order_by:
+            # the ALTER below only governs FUTURE writes — cluster the
+            # initial load the same way so its files are ordered too
+            df = df.sortWithinPartitions(
+                *[F.col(c).desc() if d.lower() == "desc" else F.col(c).asc() for c, d in order_by]
+            )
+        w = (
             df.writeTo(self._tbl(name))
             .using("iceberg")
             .partitionedBy(F.bucket(self.n_buckets, bucket_col))
             .tableProperty("write.merge.mode", "merge-on-read")
             .tableProperty("write.update.mode", "merge-on-read")
             .tableProperty("write.delete.mode", "merge-on-read")
-            .createOrReplace()
         )
+        if row_group_bytes is not None:
+            w = w.tableProperty("write.parquet.row-group-size-bytes", str(int(row_group_bytes)))
+        w.createOrReplace()
+        if order_by:
+            self.spark.sql(write_ordered_by_sql(self._tbl(name), order_by))
         self._bucket_cols = getattr(self, "_bucket_cols", {})
         self._bucket_cols[name] = bucket_col
 
@@ -127,12 +189,7 @@ class IcebergStore:
         (MoR: positional deletes + appended data files, O(batch))."""
         view = f"__updates_{name}"
         updates.createOrReplaceTempView(view)
-        self.spark.sql(
-            f"MERGE INTO {self._tbl(name)} t USING {view} u "
-            f"ON t.{key_col} = u.{key_col} "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
+        self.spark.sql(merge_sql(self._tbl(name), view, key_col))
 
     def append_table(self, name: str, delta: DataFrame) -> None:
         if not self._exists(name):
@@ -154,11 +211,7 @@ class IcebergStore:
             return 0
 
     def compact_deltas(self, name: str) -> list[int]:
-        self.spark.sql(
-            f"CALL {self.catalog}.system.rewrite_data_files("
-            f"table => '{self.namespace}.{name}', "
-            "options => map('delete-file-threshold', '1'))"
-        )
+        self.spark.sql(compact_sql(self.catalog, self.namespace, name))
         return []
 
     def carry_forward(self, name: str) -> None:

@@ -133,8 +133,24 @@ def main() -> None:
     progress_path = os.path.join(REPO, "BENCH", "scaling_pairs.jsonl")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     if resume and os.path.exists(progress_path):
+        # the aggregation below indexes these keys over every resumed
+        # pair; lines written by an older schema (pre-overlap-workload)
+        # are skipped with a notice instead of crashing after the
+        # remaining pairs have already been run (ADVICE r4)
+        required = {
+            "tput_small", "tput_large", "speedup", "pair_ceiling",
+            "norm_eff", "norm_eff_overlap", "kctrl_small_sec",
+            "kctrl_large_sec", "steal_small_sec", "steal_large_sec",
+            "wall_small_sec", "wall_large_sec",
+        }
         with open(progress_path) as fh:
-            pairs = [json.loads(ln) for ln in fh if ln.strip()]
+            loaded = [json.loads(ln) for ln in fh if ln.strip()]
+        pairs = [p for p in loaded if required <= set(p)]
+        if len(pairs) < len(loaded):
+            print(
+                f"[resume] skipped {len(loaded) - len(pairs)} old-schema "
+                f"line(s) in {progress_path}", flush=True,
+            )
     n_remaining = max(0, n_pairs - len(pairs))
 
     ctrl_small_runs = [_run_control(small)]
