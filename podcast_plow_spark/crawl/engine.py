@@ -56,6 +56,7 @@ from podcast_plow_spark.operators import frontier as fr
 from podcast_plow_spark.operators.politeness import (
     parse_crawl_delay,
     robots_filter,
+    salt_hot_hosts,
     schedule_fetches,
 )
 from podcast_plow_spark.operators.seen import build_bloom, build_sharded_bloom, seen_filter_exact
@@ -96,6 +97,17 @@ class CrawlConfig:
     #: staleness is correctness-free — prefix widens / falls back, and
     #: sufficiency is verified live). 0 disables (sample every epoch).
     presample_epochs: int = 4
+    #: hosts with at least this many rows in a dequeued BATCH are
+    #: salted across ``salt_n_salts`` lanes before scheduling (explicit
+    #: skew handling, north rule / SURVEY §4.1): the politeness window
+    #: and every fetch stage downstream then spread the hot host over
+    #: n_salts partitions instead of one, with the per-host budget
+    #: divided across lanes (delay × n_salts per lane). 0 disables.
+    #: Crawl ordering and the URL-seen set are unaffected either way —
+    #: salting changes only fetch_offset_sec values for hot hosts
+    #: (still ≥ spacing apart per host) and physical partitioning.
+    salt_hot_batch_threshold: int = 10_000
+    salt_n_salts: int = 16
 
 
 class CrawlEngine:
@@ -262,11 +274,32 @@ class CrawlEngine:
         # per-host spacing = robots Crawl-delay (else the reference's
         # 0.34 s sleep) ÷ max_connections, in crawl-rank order.
         # Politeness only delays — the global ordering is untouched.
+        # explicit hot-host salting (north rule): hosts above the
+        # per-batch threshold spread over n_salts lanes — the politeness
+        # window computes their schedule in n_salts parallel tasks and
+        # the fetch stages below (which read from `sched`) inherit the
+        # (host, salt)-hashed partitioning, so one hot host no longer
+        # pins one task. Budget division (delay × n_salts per lane, lane
+        # offsets on the spacing grid) keeps the per-host rate honest;
+        # ordering/seen-set are untouched (salting only re-times and
+        # re-partitions). Cold hosts take salt=0/lanes=1 → offsets
+        # byte-identical to the un-salted path.
+        if self.cfg.salt_hot_batch_threshold:
+            batch_s = salt_hot_hosts(
+                batch,
+                hot_threshold=self.cfg.salt_hot_batch_threshold,
+                n_salts=self.cfg.salt_n_salts,
+            )
+            salt_kw = {"salt_col": "host_salt", "n_salts_col": "host_salts"}
+        else:
+            batch_s = batch
+            salt_kw = {}
         sched = schedule_fetches(
-            batch,
+            batch_s,
             crawl_delay_sec=self.cfg.crawl_delay_sec,
             max_connections=self.cfg.max_connections,
             per_host_delay=self._delays(),
+            **salt_kw,
         )
         log_new = sched.select(
             F.lit(epoch).cast("long").alias("epoch"),
@@ -278,8 +311,14 @@ class CrawlEngine:
         )
         self.store.append_table("crawl_log", log_new)
 
+        # fetch stages inherit the salted (host, salt)-hashed layout
+        # when salting engaged — the hot host's per-URL fetch work then
+        # runs on n_salts partitions, not one. Un-salted path keeps the
+        # cached batch (no extra window recompute / plan change).
+        fetch_src = sched if salt_kw else batch
+
         # --- fetch: images → payload rows
-        img_batch = batch.where(F.col("kind") == "image").select(
+        img_batch = fetch_src.where(F.col("kind") == "image").select(
             "url_canon",
             # shared kernel: last path segment, trailing slashes stripped
             image_id_col(F.col("url_canon")).alias("image_id"),
@@ -295,7 +334,7 @@ class CrawlEngine:
         n_new = 0
         stats = None
         if n_feeds:
-            feed_batch = batch.where(F.col("kind") == "feed").select(
+            feed_batch = fetch_src.where(F.col("kind") == "feed").select(
                 F.col("url_canon").alias("url"), "seq"
             )
             entries = fetch_and_parse_feeds(feed_batch, self.fixtures_root).where(

@@ -205,6 +205,8 @@ def schedule_fetches(
     rank_col: str = "crawl_rank",
     host_col: str = "host",
     per_host_delay: dict[str, float] | None = None,
+    salt_col: str | None = None,
+    n_salts_col: str | None = None,
 ) -> DataFrame:
     """Assign each URL in a dequeued batch its politeness-constrained
     fetch offset (seconds from epoch start).
@@ -218,10 +220,26 @@ def schedule_fetches(
     sized). Pure window arithmetic — no Python state: offset = (rank
     within host − 1) × spacing. Politeness only ever *delays* URLs,
     so crawl ordering (global rank) is untouched.
+
+    **Salted mode** (``salt_col`` + ``n_salts_col``, the
+    :func:`salt_hot_hosts` output): the window partitions by
+    ``(host, salt)`` — a hot host's schedule is computed by ``n_salts``
+    parallel tasks instead of one, and every stage downstream of this
+    window inherits the spread partitioning. The per-host politeness
+    budget is divided across lanes: lane ``s`` fetches at offsets
+    ``(s + j·n_salts) × spacing`` — every fetch lands on a distinct
+    slot of the per-host spacing grid, so any two fetches to the same
+    host are ≥ ``spacing`` apart regardless of lane interleaving
+    (slots are distinct multiples of ``spacing``). Cold rows carry
+    ``salt = 0, n_salts = 1`` and get byte-identical offsets to the
+    un-salted mode.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(host_col).orderBy(F.col(rank_col).asc())
+    if salt_col:
+        w = Window.partitionBy(host_col, salt_col).orderBy(F.col(rank_col).asc())
+    else:
+        w = Window.partitionBy(host_col).orderBy(F.col(rank_col).asc())
     if per_host_delay:
         kv: list = []
         for h, d in per_host_delay.items():
@@ -232,9 +250,13 @@ def schedule_fetches(
     else:
         delay = F.lit(float(crawl_delay_sec))
     spacing = delay / F.lit(float(max(1, max_connections)))
-    return batch.withColumn(
-        "fetch_offset_sec", ((F.row_number().over(w) - 1) * spacing).cast("double")
-    )
+    rank0 = F.row_number().over(w) - 1
+    if salt_col:
+        lanes = F.col(n_salts_col) if n_salts_col else F.lit(1)
+        offset = F.col(salt_col) * spacing + rank0 * spacing * lanes
+    else:
+        offset = rank0 * spacing
+    return batch.withColumn("fetch_offset_sec", offset.cast("double"))
 
 
 # --- skew handling --------------------------------------------------------
@@ -261,10 +283,21 @@ def salt_hot_hosts(
     counts = frontier.groupBy(host_col).agg(F.count(F.lit(1)).alias("__n"))
     hot = counts.where(F.col("__n") >= hot_threshold).select(host_col, F.lit(True).alias("__hot"))
     out = frontier.join(F.broadcast(hot), host_col, "left")
-    return out.withColumn(
-        "host_salt",
-        F.when(
-            F.col("__hot").isNotNull(),
-            F.pmod(F.crc32(F.encode(F.col("url_canon"), "utf-8")), F.lit(n_salts)).cast("int"),
-        ).otherwise(F.lit(0)),
-    ).drop("__hot")
+    return (
+        out.withColumn(
+            "host_salt",
+            F.when(
+                F.col("__hot").isNotNull(),
+                F.pmod(F.crc32(F.encode(F.col("url_canon"), "utf-8")), F.lit(n_salts)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        # per-row lane count: schedule_fetches divides the per-host
+        # politeness budget by this (spacing × lanes per lane), so hot
+        # hosts keep their aggregate rate while cold hosts (1 lane)
+        # schedule byte-identically to the un-salted path
+        .withColumn(
+            "host_salts",
+            F.when(F.col("__hot").isNotNull(), F.lit(int(n_salts))).otherwise(F.lit(1)).cast("int"),
+        )
+        .drop("__hot")
+    )

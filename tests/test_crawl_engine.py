@@ -336,3 +336,75 @@ class TestShardedBloom:
                 sorted(r["url_canon"] for r in fr_t.select("url_canon").collect()),
             )
         assert outs["mono"] == outs["sharded"]
+
+
+class TestSaltedEpoch:
+    """Hot-host salting wired into CrawlEngine.run_epoch (north rule,
+    VERDICT r4 item 2): salting must not change the crawl ordering or
+    the URL-seen set — it only re-times hot-host fetch offsets (still
+    honoring the per-host budget) and spreads their physical layout."""
+
+    def _crawl(self, spark, fixtures, store_dir, threshold, cap=4):
+        store = SnapshotStore(store_dir)
+        eng = CrawlEngine(
+            spark,
+            store,
+            fixtures.root,
+            config=CrawlConfig(
+                batch_size=16,
+                per_host_cap=cap,
+                num_partitions=4,
+                salt_hot_batch_threshold=threshold,
+                salt_n_salts=4,
+            ),
+        )
+        eng.run(seeds_path=f"{fixtures.root}/feeds.txt", max_epochs=100)
+        return eng.store
+
+    def test_crawl_output_identical_salted_vs_not(self, spark, fixtures, tmp_path_factory):
+        outs = {}
+        for name, thr in (("unsalted", 0), ("salted", 2)):
+            # threshold 2 with per_host_cap 4 ⇒ every multi-row host in a
+            # batch is treated as hot — the aggressive end of the knob
+            store = self._crawl(
+                spark, fixtures, str(tmp_path_factory.mktemp(f"salt_{name}")), thr
+            )
+            log = store.read_table(spark, "crawl_log")
+            fr_t = store.read_table(spark, "frontier")
+            outs[name] = (
+                sorted(map(tuple, log.select("epoch", "crawl_rank", "url_canon").collect())),
+                sorted(r["url_canon"] for r in fr_t.select("url_canon").collect()),
+            )
+        assert outs["unsalted"] == outs["salted"]
+
+    def test_salted_offsets_honor_per_host_budget(self, spark, fixtures, tmp_path_factory):
+        """In the salted crawl every pair of same-host fetches in an
+        epoch is still ≥ the effective per-host spacing apart (the lane
+        grid guarantees distinct spacing-slots per host)."""
+        import os
+
+        store = self._crawl(
+            spark, fixtures, str(tmp_path_factory.mktemp("salt_budget")), threshold=2
+        )
+        from podcast_plow_spark.operators.politeness import parse_crawl_delay
+
+        def effective_delay(host: str) -> float:
+            p = os.path.join(fixtures.root, "sites", host, "robots.txt")
+            if os.path.exists(p):
+                d = parse_crawl_delay(open(p).read(), "plow-spark")
+                if d is not None:
+                    return d
+            return 0.34
+
+        log = store.read_table(spark, "crawl_log").collect()
+        by_key: dict = {}
+        for r in log:
+            by_key.setdefault((r["epoch"], r["host"]), []).append(r["fetch_offset_sec"])
+        multi = 0
+        for (_e, host), offs in by_key.items():
+            offs.sort()
+            gaps = [b - a for a, b in zip(offs, offs[1:])]
+            if gaps:
+                multi += 1
+                assert min(gaps) >= effective_delay(host) - 1e-9, (host, offs)
+        assert multi > 0  # the invariant was actually exercised

