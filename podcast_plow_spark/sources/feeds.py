@@ -54,12 +54,45 @@ def load_seeds(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def _parse_one_feed(feed_url: str, xml_text: str) -> list[dict]:
+def _to_xml_bytes(xml_text) -> bytes:
+    """Normalize parser input to bytes, the way feedparser consumes
+    documents (reference drops any bozo feed, server/ingest/feeds.py:
+    221-228 — so OUR accept/reject boundary must track feedparser's,
+    and feedparser's is defined over bytes):
+
+    - bytes in → unchanged (ET then honors the XML encoding
+      declaration and any BOM, exactly like feedparser).
+    - str in → strip a leading BOM char, then re-encode using the
+      DECLARED charset when one is present (a str carrying
+      ``encoding="iso-8859-1"`` would otherwise make ``ET.fromstring``
+      raise ``ValueError`` — NOT ParseError — and crash the executor
+      task instead of marking the row bozo).
+    """
+    import re as _re
+
+    if isinstance(xml_text, bytes):
+        return xml_text
+    s = xml_text.lstrip("\ufeff")
+    m = _re.match(r"\s*<\?xml[^>]*encoding=[\"']([A-Za-z0-9._-]+)[\"']", s)
+    if m:
+        try:
+            return s.encode(m.group(1), errors="replace")
+        except LookupError:  # unknown codec name → let the parser bozo it
+            pass
+    return s.encode("utf-8")
+
+
+def _parse_one_feed(feed_url: str, xml_text) -> list[dict]:
     """Project one RSS document into entry rows (reference semantics,
-    re-derived — see module docstring)."""
+    re-derived — see module docstring). Accepts str or bytes; see
+    :func:`_to_xml_bytes` for the feedparser-tracking input handling.
+    """
     try:
-        root = ET.fromstring(xml_text)
-    except ET.ParseError as exc:
+        root = ET.fromstring(_to_xml_bytes(xml_text))
+    except (ET.ParseError, ValueError, LookupError) as exc:
+        # ParseError: not-well-formed (feedparser bozo → ref drops too)
+        # ValueError/LookupError: encoding-declaration edge cases that
+        # must mark the row bozo, never fail the executor task
         return [
             {
                 "feed_url": feed_url, "entry_pos": -1, "guid": None, "link": None,
@@ -165,7 +198,11 @@ def fetch_and_parse_feeds(feed_batch: DataFrame, fixtures_root: str, url_col: st
                 if path is None:
                     out.append(_parse_one_feed(url, "<broken")[0] | {"parse_error": "fetch: not found"})
                     continue
-                with open(path, encoding="utf-8") as fh:
+                # bytes, not text: the XML encoding declaration / BOM
+                # then governs decoding (feedparser-equivalent — a
+                # latin-1 or UTF-16 feed parses instead of failing the
+                # utf-8 text read before the parser ever sees it)
+                with open(path, "rb") as fh:
                     out.extend(_parse_one_feed(url, fh.read()))
             yield pd.DataFrame(out) if out else pd.DataFrame()
 
