@@ -65,12 +65,19 @@ def synthetic_frontier(spark: SparkSession, n: int, partitions: int = 64, salt: 
     )
 
 
-def _decode_psnr_stage(batch):
+def _decode_psnr_stage(batch, keep_offset: bool = False):
     """The fetch+process stage of an *image* crawl: per URL, obtain the
     payload (here: deterministically derived from the URL id — the
     network-free stand-in), decode, compute the PSNR invariant and
     phash. This is the dominant per-URL CPU at production scale and is
-    embarrassingly parallel."""
+    embarrassingly parallel.
+
+    ``keep_offset``: pass ``fetch_offset_sec`` through the stage (a
+    real fetcher consumes it — it IS the politeness fetch time).
+    Consuming it also keeps the upstream schedule window alive in the
+    plan, so the decode inherits the window's (possibly salted)
+    partitioning instead of Catalyst pruning the window away
+    (scripts/skew_bench.py relies on this)."""
     import re
 
     import numpy as np
@@ -124,14 +131,19 @@ def _decode_psnr_stage(batch):
                         ok = p >= 40.0
                 oks.append(ok)
                 phs.append(ph)
-            yield pd.DataFrame(
-                {
-                    "url_canon": pdf["url_canon"],
-                    "invariant_ok": np.concatenate(oks),
-                    "phash": np.concatenate(phs),
-                }
-            )
+            out = {
+                "url_canon": pdf["url_canon"],
+                "invariant_ok": np.concatenate(oks),
+                "phash": np.concatenate(phs),
+            }
+            if "fetch_offset_sec" in pdf.columns:
+                out["fetch_offset_sec"] = pdf["fetch_offset_sec"]
+            yield pd.DataFrame(out)
 
+    if keep_offset:
+        return batch.select("url_canon", "fetch_offset_sec").mapInPandas(
+            stage, "url_canon string, invariant_ok boolean, phash long, fetch_offset_sec double"
+        )
     return batch.select("url_canon").mapInPandas(stage, "url_canon string, invariant_ok boolean, phash long")
 
 

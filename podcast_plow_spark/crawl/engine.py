@@ -311,11 +311,20 @@ class CrawlEngine:
         )
         self.store.append_table("crawl_log", log_new)
 
-        # fetch stages inherit the salted (host, salt)-hashed layout
+        # fetch stages run over an EXPLICIT (host, salt)-hashed layout
         # when salting engaged — the hot host's per-URL fetch work then
-        # runs on n_salts partitions, not one. Un-salted path keeps the
-        # cached batch (no extra window recompute / plan change).
-        fetch_src = sched if salt_kw else batch
+        # runs on n_salts partitions, not one. The repartition is
+        # explicit rather than inherited from the schedule window
+        # because the fetch projections don't consume
+        # fetch_offset_sec, so Catalyst would prune the window (and its
+        # layout) out of the fetch branches (measured:
+        # scripts/skew_bench.py, 2.3× at 30% skew / 16 cores).
+        # Un-salted path keeps the cached batch (no plan change).
+        fetch_src = (
+            batch_s.repartition(self.cfg.num_partitions, F.col("host"), F.col("host_salt"))
+            if salt_kw
+            else batch
+        )
 
         # --- fetch: images → payload rows
         img_batch = fetch_src.where(F.col("kind") == "image").select(
