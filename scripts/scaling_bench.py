@@ -86,22 +86,76 @@ def _read_steal_ticks() -> int:
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 
 
+def _sample_cpu_mhz() -> float:
+    """Median core frequency right now (0.0 if unavailable)."""
+    try:
+        mhz = []
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("cpu MHz"):
+                    mhz.append(float(line.split(":")[1]))
+        mhz.sort()
+        return mhz[len(mhz) // 2] if mhz else 0.0
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
+def _read_iowait_ticks() -> int:
+    try:
+        with open("/proc/stat") as fh:
+            for line in fh:
+                if line.startswith("cpu "):
+                    fields = line.split()
+                    return int(fields[5]) if len(fields) > 5 else 0
+    except OSError:
+        pass
+    return 0
+
+
 def _run_bench_once(cores: str, n_urls: int) -> dict:
+    import threading
+
     env = dict(os.environ, SPARK_GRAFT_INPROC_CONTROL="1")
-    steal0, t0 = _read_steal_ticks(), time.perf_counter()
-    out = subprocess.run(
-        [sys.executable, "-m", "podcast_plow_spark.crawl.bench", cores, str(n_urls)],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-        check=True,
-        env=env,
-    )
+    # second-bimodality diagnostics (VERDICT r4: one 0.45-efficiency
+    # pair had near-zero steal, so steal alone can't explain outliers):
+    # sample core frequency during the run, and measure iowait — the
+    # two non-steal ways this VM gets slow (down-clocking; disk/page-
+    # cache contention).
+    mhz_samples: list[float] = []
+    stop = threading.Event()
+
+    def sampler():
+        while not stop.wait(2.0):
+            m = _sample_cpu_mhz()
+            if m:
+                mhz_samples.append(m)
+
+    th = threading.Thread(target=sampler, daemon=True)
+    th.start()
+    steal0, iow0, t0 = _read_steal_ticks(), _read_iowait_ticks(), time.perf_counter()
+    try:
+        out = subprocess.run(
+            [sys.executable, "-m", "podcast_plow_spark.crawl.bench", cores, str(n_urls)],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+            env=env,
+        )
+    finally:
+        stop.set()
+        th.join()
     wall = time.perf_counter() - t0
     steal_sec = (_read_steal_ticks() - steal0) / _CLK_TCK
+    iowait_sec = (_read_iowait_ticks() - iow0) / _CLK_TCK
     res = json.loads(out.stdout.strip().splitlines()[-1])
     res["steal_sec"] = round(steal_sec, 1)
     res["wall_sec"] = round(wall, 1)
+    res["iowait_sec"] = round(iowait_sec, 1)
+    if mhz_samples:
+        s = sorted(mhz_samples)
+        res["cpu_mhz_median"] = round(s[len(s) // 2], 0)
+        res["cpu_mhz_min"] = round(s[0], 0)
     return res
 
 
@@ -181,6 +235,10 @@ def main() -> None:
                 "steal_large_sec": b["steal_sec"],
                 "wall_small_sec": a["wall_sec"],
                 "wall_large_sec": b["wall_sec"],
+                "iowait_small_sec": a.get("iowait_sec"),
+                "iowait_large_sec": b.get("iowait_sec"),
+                "cpu_mhz_small": [a.get("cpu_mhz_median"), a.get("cpu_mhz_min")],
+                "cpu_mhz_large": [b.get("cpu_mhz_median"), b.get("cpu_mhz_min")],
                 "speedup": round(speedup, 2),
                 "overlap_speedup": round(ov_speedup, 2),
                 "pair_ceiling": round(ceiling, 2),
