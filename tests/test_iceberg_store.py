@@ -1,7 +1,15 @@
 """Iceberg catalog adapter — skip-marked without the runtime jar
 (the sandbox ships none), exactly like the Pillow-less codec test.
 With a jar present (real cluster), this exercises the engine's
-persistence contract against a real catalog."""
+persistence contract against a real catalog.
+
+Jar acquisition was attempted in-sandbox (r5): Maven Central
+(repo1.maven.org, iceberg-spark-runtime) is unreachable — HTTP 000,
+no outbound network — and installs are prohibited, so the adapter's
+SQL surface is frozen by the golden-SQL tests below instead (the
+exact MERGE INTO / WRITE ORDERED BY / rewrite_data_files statements a
+real catalog receives), plus a jar-free signature-parity check
+against the parquet fallback the engine otherwise uses."""
 
 from __future__ import annotations
 
