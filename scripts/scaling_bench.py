@@ -303,12 +303,23 @@ def main() -> None:
             "|---|---|---|---|---|---|\n" + "\n".join(outlier_rows) + "\n\n"
             "Reading: high steal on either side → hypervisor preemption\n"
             "explains the pair. Near-zero steal + normal kctrl (the\n"
-            "zero-shuffle control hit full speed while the shuffling\n"
-            "epochs did not, e.g. r4's pair 3) points at time-varying\n"
-            "host I/O or memory-bus contention invisible to the steal\n"
-            "counter — the iowait column (r5+ pairs) separates disk\n"
-            "stall from bus contention. `None` = pair predates the r5\n"
-            "instrumentation.\n"
+            "zero-shuffle control hit full speed while the shuffling epochs did\n"
+            "not — r4's pair 3) is a SECOND slow state, independently reproduced\n"
+            "and isolated (BENCH/R5_REGRESSION_RECHECK.md): during two\n"
+            "query-bench runs showing the same broad slowdown, the register-only\n"
+            "burn kernel ran at good-mode speed (2.61 s vs 2.45 s best), disk\n"
+            "read and 1-thread memcpy were at full speed, steal was near zero,\n"
+            "iowait was 0.0 and the reported core clock pinned at 2100 MHz — so\n"
+            "the state is NOT cpu clock, NOT guest-visible preemption, NOT disk.\n"
+            "The only shared resource left that affects Arrow/shuffle-heavy work\n"
+            "but not a register loop is the host memory subsystem (LLC /\n"
+            "memory-bus contention from co-tenants), which no guest counter\n"
+            "exposes. Consequence: the slow state depresses measured THROUGHPUT\n"
+            "but the mode-matched pair efficiency stays valid whenever the\n"
+            "in-process control lands in the same state as its epochs; a\n"
+            "mid-process state flip (control fast, epochs slow) biases that\n"
+            "pair's efficiency DOWN — the conservative direction. `None` = pair\n"
+            "predates the r5 instrumentation (iowait/MHz sampling).\n"
         )
         if outlier_rows
         else ""
