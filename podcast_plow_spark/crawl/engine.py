@@ -31,9 +31,11 @@ Scale design notes (10^10 frontier — these are now code, not notes):
   never on the full frontier.
 - the ``bytes`` image column is touched only by the payload join and
   the invariant job — column pruning keeps every other scan narrow.
-- the seen filter's Bloom is built once then maintained incrementally
-  (each epoch ORs in its insertions) — the exact anti-join backstop is
-  unchanged.
+- the seen filter's Bloom is built once then maintained incrementally;
+  with ``bloom_fold_epochs > 1`` each epoch's insertions land in a
+  batch-sized cuckoo hot tier (O(batch)) and the O(filter-size) Bloom
+  OR-fold is amortized across epochs — the exact anti-join backstop is
+  unchanged either way.
 """
 
 from __future__ import annotations
@@ -59,7 +61,13 @@ from podcast_plow_spark.operators.politeness import (
     salt_hot_hosts,
     schedule_fetches,
 )
-from podcast_plow_spark.operators.seen import build_bloom, build_sharded_bloom, seen_filter_exact
+from podcast_plow_spark.operators.seen import (
+    CuckooFilter,
+    build_bloom,
+    build_cuckoo,
+    build_sharded_bloom,
+    seen_filter_exact,
+)
 from podcast_plow_spark.sources.feeds import fetch_and_parse_feeds, load_seeds
 from podcast_plow_spark.sources.snapshots import SnapshotStore
 
@@ -108,6 +116,21 @@ class CrawlConfig:
     #: (still ≥ spacing apart per host) and physical partitioning.
     salt_hot_batch_threshold: int = 10_000
     salt_n_salts: int = 16
+    #: fold the cuckoo hot tier into the big Bloom every N epochs
+    #: (north rule's "blocked Bloom + cuckoo hot tier"). 1 = fold
+    #: every epoch, i.e. no hot tier — OR-merging a delta into the
+    #: Bloom is an O(filter-size) pass (~15 GB at 10^10 keys × 12
+    #: bits), a flat per-epoch cost the tier amortizes: with N > 1,
+    #: per-epoch maintenance is O(batch) (build+merge a batch-sized
+    #: cuckoo) and the Bloom fold runs every N epochs. An early fold
+    #: triggers if the hot tier passes ~0.8 load. Probes check
+    #: bloom OR hot; crawl output is bit-identical either way
+    #: (tests/test_crawl_engine.py::test_engine_run_identical_with_hot_tier).
+    bloom_fold_epochs: int = 1
+    #: hot-tier capacity (slots). Sized ~2× the expected insertions
+    #: between folds; the load-triggered early fold makes undersizing
+    #: safe (correctness never depends on the sizing).
+    hot_tier_capacity: int = 65_536
 
 
 class CrawlEngine:
@@ -132,6 +155,15 @@ class CrawlEngine:
         # keeps correctness, only fpr degrades)
         self._bloom = None
         self._bloom_capacity = 1_000_000
+        # cuckoo hot tier: insertions newer than the last Bloom fold
+        # (None while bloom_fold_epochs == 1 or before the first probe).
+        # Invariant: bloom ∪ hot ⊇ all frontier URLs — guaranteed
+        # because the Bloom is built from the FULL seen set the first
+        # time a process probes (also after resume), and every later
+        # insertion lands in the hot tier until folded.
+        self._hot = None
+        self._epochs_since_fold = 0
+        self._last_fold_epoch = 0
         # dequeue threshold presample, refreshed every
         # cfg.presample_epochs (see run_epoch); None = sample inline
         self._presample: list | None = None
@@ -230,6 +262,26 @@ class CrawlEngine:
         next_seq = int(meta.get("next_seq", 1))
         frontier = self.store.read_table(self.spark, "frontier")
         assert frontier is not None, "bootstrap first"
+
+        # --- amortized Bloom fold (cuckoo hot tier → big Bloom).
+        # Folding at epoch START means the freshly-read frontier holds
+        # every row the hot tier covers (discovered_epoch > last fold),
+        # so the fold is one pushed-down scan of just those rows; the
+        # tier is then dropped and rebuilt from this epoch's inserts.
+        # The load-triggered early fold bounds tier fpr regardless of
+        # how hot_tier_capacity was sized.
+        if self._hot is not None and (
+            self._epochs_since_fold >= self.cfg.bloom_fold_epochs or self._hot.load > 0.8
+        ):
+            fold_rows = frontier.where(
+                F.col("discovered_epoch") > F.lit(int(self._last_fold_epoch))
+            ).select("url_canon")
+            self._bloom = self._bloom.merge(
+                build_bloom(fold_rows, "url_canon", like=self._bloom)
+            )
+            self._hot = None
+            self._epochs_since_fold = 0
+            self._last_fold_epoch = epoch - 1
 
         # --- dequeue with politeness cap. Full Q2 predicate
         # (status=='queued' AND run_at <= now, so backoff-requeued rows
@@ -376,11 +428,15 @@ class CrawlEngine:
                             expected_items=self._bloom_capacity,
                             bits_per_item=self.cfg.bloom_bits_per_item,
                         )
+                    # the full build covers every row in the frontier
+                    # read this epoch (all discovered_epoch ≤ epoch-1)
+                    self._last_fold_epoch = epoch - 1
                 bloom = self._bloom
             unseen, stats = seen_filter_exact(
                 cand, seen, bloom, "url_canon",
                 measure_fpr=self.cfg.use_bloom,
                 cache_registry=epoch_caches,
+                hot=self._hot,
             )
 
             # --- enqueue (deterministic seq continues from next_seq)
@@ -393,14 +449,27 @@ class CrawlEngine:
             ).cache()
             n_new = new_rows.count()
             if self.cfg.use_bloom and n_new:
-                # incremental maintenance: OR in only this epoch's insertions
-                if self.cfg.bloom_shards:
-                    delta = build_sharded_bloom(
-                        new_rows.select("url_canon"), "url_canon", like=self._bloom
+                if self.cfg.bloom_fold_epochs > 1 and not self.cfg.bloom_shards:
+                    # O(batch) maintenance: insertions land in the
+                    # cuckoo hot tier; the O(filter-size) Bloom OR is
+                    # deferred to the amortized fold at epoch start.
+                    # (Sharded blooms keep per-epoch shard merges: each
+                    # shard is already ~1/n_shards of the monolith.)
+                    if self._hot is None:
+                        self._hot = CuckooFilter.sized_for(self.cfg.hot_tier_capacity)
+                    self._hot = self._hot.merge(
+                        build_cuckoo(new_rows.select("url_canon"), "url_canon", like=self._hot)
                     )
+                    self._epochs_since_fold += 1
                 else:
-                    delta = build_bloom(new_rows.select("url_canon"), "url_canon", like=self._bloom)
-                self._bloom = self._bloom.merge(delta)
+                    # fold-every-epoch path (default / sharded)
+                    if self.cfg.bloom_shards:
+                        delta = build_sharded_bloom(
+                            new_rows.select("url_canon"), "url_canon", like=self._bloom
+                        )
+                    else:
+                        delta = build_bloom(new_rows.select("url_canon"), "url_canon", like=self._bloom)
+                    self._bloom = self._bloom.merge(delta)
 
         # --- mark batch done + insert discoveries as ONE merge-on-read
         # delta (the batch rows themselves, re-stated as finished, plus

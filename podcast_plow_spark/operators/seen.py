@@ -1,6 +1,20 @@
 """Distributed URL-seen filter: per-partition blocked Bloom filters
-merged via ``treeAggregate``, with an exact anti-join backstop
-(north rule; SURVEY.md §2.5 note, §4.2).
+with a cuckoo-filter hot tier, merged via ``treeAggregate``, with an
+exact anti-join backstop (north rule; SURVEY.md §2.5 note, §4.2).
+
+Tiering: the big Bloom holds the COLD seen set (everything folded so
+far); the small :class:`CuckooFilter` hot tier holds URLs inserted
+since the last fold. OR-merging a delta into a 10^10-key Bloom is an
+O(filter-size) pass (~15 GB at 12 bits/key) — doing it every epoch
+makes filter maintenance a flat per-epoch cost independent of batch
+size. With the hot tier, per-epoch maintenance is O(batch) (build +
+merge a batch-sized cuckoo) and the expensive Bloom fold is amortized
+over ``bloom_fold_epochs`` epochs (engine knob). A probe is
+bloom-OR-hot; the no-false-negative invariant (bloom ∪ hot ⊇ seen) is
+what keeps the exact-backstop bypass sound, and it holds by
+construction: the Bloom is built from the full seen set when a
+process first probes, and every subsequent insertion lands in the hot
+tier until folded.
 
 Reference semantics are **exact** keyed lookups (podcast by rss_url,
 episode by guid-else-url, job by fingerprint — reference
@@ -31,8 +45,10 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "BloomFilter",
+    "CuckooFilter",
     "ShardedBloom",
     "build_bloom",
+    "build_cuckoo",
     "build_sharded_bloom",
     "probe_bloom",
     "seen_filter_exact",
@@ -157,6 +173,213 @@ class ShardedBloom:
             bc = spark.sparkContext.broadcast((self.n_shards, payload))
             self._bc = bc
         return bc
+
+
+class CuckooFilter:
+    """Partial-key cuckoo filter (Fan, Andersen, Kaminsky, Mitzenmacher,
+    "Cuckoo Filter: Practically Better Than Bloom", CoNEXT 2014 — the
+    public construction, re-implemented in numpy): 16-bit fingerprints,
+    4-way buckets, the alternate bucket derived from the CURRENT bucket
+    and the fingerprint alone (``i2 = i1 XOR h(fp)``), which is what
+    makes the filter mergeable and deletable without the original keys.
+
+    Role here: the HOT tier of the URL-seen filter — the current
+    window's insertions, batch-sized, rebuilt O(batch) per epoch and
+    cleared on each Bloom fold. A cuckoo (vs a second Bloom) gives
+    (a) deletion — an aborted epoch's insertions can be retracted
+    without rebuilding, (b) better space/fpr at the small sizes the
+    hot tier lives at, (c) exact slot accounting (``load``), which
+    the engine uses to trigger an early fold before saturation.
+
+    Determinism: hashing is splitmix64 on the same int64 key column
+    the Bloom uses; eviction order is a counter-derived slot choice —
+    no randomness, so distributed builds are reproducible.
+    """
+
+    BUCKET_SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(
+        self,
+        n_buckets: int,
+        buckets: np.ndarray | None = None,
+        stash: list | None = None,
+    ):
+        assert n_buckets > 0 and (n_buckets & (n_buckets - 1)) == 0, "power-of-two buckets"
+        self.n_buckets = n_buckets
+        self.buckets = (
+            buckets if buckets is not None else np.zeros((n_buckets, self.BUCKET_SLOTS), dtype=np.uint16)
+        )
+        # rare eviction-failure overflow: (bucket_idx, fp) pairs, still
+        # honoring the i1/i2 membership contract (no false negatives)
+        self.stash: list = stash if stash is not None else []
+
+    @classmethod
+    def sized_for(cls, expected_items: int) -> "CuckooFilter":
+        # ~0.7 target load: evictions stay rare, fpr ~ 2·4/2^16 ≈ 0.012%
+        need_slots = max(1024, int(expected_items / 0.7) + 1)
+        n_buckets = 1 << int(np.ceil(np.log2(need_slots / cls.BUCKET_SLOTS)))
+        return cls(n_buckets)
+
+    # -- hashing --------------------------------------------------------
+
+    def _fp_i1_i2(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        h = _splitmix64(keys.astype(np.uint64))
+        fp = (h >> np.uint64(48)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)  # 0 is the empty sentinel
+        mask = np.uint64(self.n_buckets - 1)
+        i1 = (h & mask).astype(np.int64)
+        i2 = self._alt(i1, fp)
+        return fp, i1, i2
+
+    def _alt(self, idx: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        fh = _splitmix64(fp.astype(np.uint64))
+        mask = np.uint64(self.n_buckets - 1)
+        return (idx.astype(np.uint64) ^ (fh & mask)).astype(np.int64)
+
+    def _alt_scalar(self, idx: int, fp: int) -> int:
+        return int(self._alt(np.array([idx], dtype=np.int64), np.array([fp], dtype=np.uint16))[0])
+
+    # -- mutation -------------------------------------------------------
+
+    def _insert_fp(self, idx: int, fp: int) -> None:
+        """Place fingerprint whose valid buckets are idx / alt(idx, fp)."""
+        for b in (idx, self._alt_scalar(idx, fp)):
+            slots = self.buckets[b]
+            z = np.nonzero(slots == 0)[0]
+            if len(z):
+                slots[z[0]] = fp
+                return
+        cur, f = idx, fp
+        for kick in range(self.MAX_KICKS):
+            slot = (f + kick) % self.BUCKET_SLOTS  # deterministic victim
+            victim = int(self.buckets[cur, slot])
+            self.buckets[cur, slot] = f
+            f = victim
+            cur = self._alt_scalar(cur, f)
+            z = np.nonzero(self.buckets[cur] == 0)[0]
+            if len(z):
+                self.buckets[cur, z[0]] = f
+                return
+        self.stash.append((int(cur), int(f)))
+
+    def add_many(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        fp, i1, _ = self._fp_i1_i2(keys)
+        for j in range(len(keys)):
+            self._insert_fp(int(i1[j]), int(fp[j]))
+
+    def delete_many(self, keys: np.ndarray) -> int:
+        """Remove ONE stored occurrence per key (the cuckoo capability
+        a Bloom lacks). Only delete keys that were inserted — deleting
+        an absent key may evict another key's colliding fingerprint
+        (standard cuckoo-filter caveat). Returns #removed."""
+        if len(keys) == 0:
+            return 0
+        fp, i1, i2 = self._fp_i1_i2(keys)
+        removed = 0
+        for j in range(len(keys)):
+            f = int(fp[j])
+            done = False
+            for b in (int(i1[j]), int(i2[j])):
+                s = np.nonzero(self.buckets[b] == f)[0]
+                if len(s):
+                    self.buckets[b, s[0]] = 0
+                    removed += 1
+                    done = True
+                    break
+            if not done:
+                for si, (bi, sf) in enumerate(self.stash):
+                    if sf == f and bi in (int(i1[j]), int(i2[j])):
+                        self.stash.pop(si)
+                        removed += 1
+                        break
+        return removed
+
+    # -- queries --------------------------------------------------------
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        fp, i1, i2 = self._fp_i1_i2(keys)
+        out = (self.buckets[i1] == fp[:, None]).any(axis=1)
+        out |= (self.buckets[i2] == fp[:, None]).any(axis=1)
+        for bi, sf in self.stash:
+            out |= (fp == np.uint16(sf)) & ((i1 == bi) | (i2 == bi))
+        return out
+
+    @property
+    def load(self) -> float:
+        return float(np.count_nonzero(self.buckets)) / self.buckets.size
+
+    # -- combination ----------------------------------------------------
+
+    def merge(self, other: "CuckooFilter") -> "CuckooFilter":
+        """Union: re-place every stored fingerprint of ``other``. The
+        stored bucket index is one of the fingerprint's two valid
+        buckets, and ``alt`` is derivable from (index, fp) alone, so
+        membership is preserved without the original keys."""
+        assert self.n_buckets == other.n_buckets
+        out = CuckooFilter(self.n_buckets, self.buckets.copy(), list(self.stash))
+        rows, slots = np.nonzero(other.buckets)
+        for b, s in zip(rows, slots):
+            out._insert_fp(int(b), int(other.buckets[b, s]))
+        for bi, sf in other.stash:
+            out._insert_fp(int(bi), int(sf))
+        return out
+
+    def broadcast_on(self, spark) -> "object":
+        bc = getattr(self, "_bc", None)
+        if bc is None:
+            bc = spark.sparkContext.broadcast((self.n_buckets, self.buckets, list(self.stash)))
+            self._bc = bc
+        return bc
+
+
+def build_cuckoo(
+    seen: DataFrame,
+    key_col: str = "url_canon",
+    expected_items: int | None = None,
+    like: "CuckooFilter | None" = None,
+) -> CuckooFilter:
+    """Per-partition cuckoo partials built in ``mapInPandas``, merged
+    via ``treeAggregate`` (the north rule's build shape, same as
+    :func:`build_bloom`). ``like`` sizes the result to another
+    filter's geometry so the two can be merged (the engine builds a
+    batch delta ``like`` its hot tier every epoch)."""
+    if like is not None:
+        n_buckets = like.n_buckets
+    else:
+        n = expected_items or seen.count()
+        n_buckets = CuckooFilter.sized_for(n).n_buckets
+
+    import json as _json
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cf = CuckooFilter(n_buckets)
+        for pdf in batches:
+            if len(pdf):
+                cf.add_many(pdf["__k"].to_numpy(dtype=np.int64).astype(np.uint64) % np.uint64(2**63))
+        yield pd.DataFrame(
+            {"buckets": [cf.buckets.tobytes()], "stash": [_json.dumps(cf.stash)]}
+        )
+
+    keys_df = seen.select(_key_col(key_col).alias("__k"))
+    if keys_df.rdd.getNumPartitions() > 32:
+        keys_df = keys_df.coalesce(32)
+    parts = keys_df.mapInPandas(part, "buckets binary, stash string")
+
+    def to_cf(r) -> CuckooFilter:
+        return CuckooFilter(
+            n_buckets,
+            np.frombuffer(r["buckets"], dtype=np.uint16).reshape(-1, CuckooFilter.BUCKET_SLOTS).copy(),
+            [tuple(x) for x in _json.loads(r["stash"])],
+        )
+
+    return parts.rdd.map(to_cf).treeAggregate(
+        CuckooFilter(n_buckets), lambda a, b: a.merge(b), lambda a, b: a.merge(b), depth=3
+    )
 
 
 def _host_bucket_col(url_col: str, n_shards: int) -> F.Column:
@@ -285,10 +508,15 @@ def build_bloom(
 
 
 def probe_bloom(
-    candidates: DataFrame, bloom: "BloomFilter | ShardedBloom", key_col: str = "url_canon"
+    candidates: DataFrame,
+    bloom: "BloomFilter | ShardedBloom",
+    key_col: str = "url_canon",
+    hot: "CuckooFilter | None" = None,
 ) -> DataFrame:
-    """Adds ``maybe_seen`` (bloom positive). Definite negatives skip the
-    exact join entirely.
+    """Adds ``maybe_seen`` (bloom positive, OR hot-tier positive when a
+    :class:`CuckooFilter` hot tier is given — the tier holding
+    insertions newer than the last Bloom fold). Definite negatives
+    skip the exact join entirely.
 
     The Python stage is a SCALAR pandas UDF over the int64 key column
     only: Arrow moves one long column in and one boolean out, instead
@@ -303,6 +531,13 @@ def probe_bloom(
     from pyspark.sql.types import BooleanType
 
     bc = bloom.broadcast_on(spark)
+    bc_hot = hot.broadcast_on(spark) if hot is not None else None
+
+    def _hot_mask(ks: np.ndarray) -> np.ndarray | None:
+        if bc_hot is None:
+            return None
+        nb, bkts, stash = bc_hot.value
+        return CuckooFilter(nb, bkts, stash).contains_many(ks)
 
     if isinstance(bloom, ShardedBloom):
 
@@ -313,7 +548,9 @@ def probe_bloom(
                 n_shards, {s: BloomFilter(nb, kk, w) for s, (nb, kk, w) in payload.items()}
             )
             ks = keys.to_numpy(dtype=np.int64).astype(np.uint64) % np.uint64(2**63)
-            return pd.Series(sb.contains_many(ks, buckets.to_numpy(dtype=np.int64)))
+            out = sb.contains_many(ks, buckets.to_numpy(dtype=np.int64))
+            hm = _hot_mask(ks)
+            return pd.Series(out | hm if hm is not None else out)
 
         return candidates.withColumn(
             "maybe_seen",
@@ -325,7 +562,9 @@ def probe_bloom(
         n_blocks, k, words = bc.value
         bf = BloomFilter(n_blocks, k, words)
         ks = keys.to_numpy(dtype=np.int64).astype(np.uint64) % np.uint64(2**63)
-        return pd.Series(bf.contains_many(ks))
+        out = bf.contains_many(ks)
+        hm = _hot_mask(ks)
+        return pd.Series(out | hm if hm is not None else out)
 
     return candidates.withColumn("maybe_seen", probe(_key_col(key_col)))
 
@@ -337,8 +576,14 @@ def seen_filter_exact(
     key_col: str = "url_canon",
     measure_fpr: bool = False,
     cache_registry: "list[DataFrame] | None" = None,
+    hot: "CuckooFilter | None" = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Returns (unseen_candidates, fpr_stats-or-None).
+
+    ``hot``: optional cuckoo hot tier covering insertions newer than
+    the last Bloom fold (probe = bloom OR hot; the union must cover
+    the full seen set — that invariant is what makes the
+    definite-unseen bypass sound).
 
     Path: bloom probe → definite-unseen bypass ∪ (maybe-seen ∖ exact
     anti-join). With ``measure_fpr`` the per-partition (urls_in,
@@ -360,7 +605,7 @@ def seen_filter_exact(
             unseen = candidates.join(seen.select(key_col).distinct(), key_col, "left_anti")
         return unseen, None
 
-    probed = probe_bloom(candidates, bloom, key_col)
+    probed = probe_bloom(candidates, bloom, key_col, hot=hot)
     if measure_fpr or cache_registry is not None:
         probed = probed.cache()
         # Materialize NOW: the maybe_keys/hits broadcast exchanges

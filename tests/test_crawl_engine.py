@@ -338,6 +338,44 @@ class TestShardedBloom:
         assert outs["mono"] == outs["sharded"]
 
 
+class TestHotTierFold:
+    """Cuckoo hot tier + amortized Bloom folds (north rule's "blocked
+    Bloom + cuckoo hot tier"): the tier is pure maintenance-cost
+    engineering — crawl output must be bit-identical to the
+    fold-every-epoch default, and the tier must actually engage."""
+
+    def test_engine_run_identical_with_hot_tier(self, spark, fixtures, tmp_path_factory):
+        outs = {}
+        engines = {}
+        for name, fold in (("every_epoch", 1), ("amortized", 3)):
+            store = SnapshotStore(str(tmp_path_factory.mktemp(f"hot_{name}")))
+            eng = CrawlEngine(
+                spark,
+                store,
+                fixtures.root,
+                config=CrawlConfig(
+                    batch_size=8,
+                    per_host_cap=2,
+                    num_partitions=4,
+                    bloom_fold_epochs=fold,
+                ),
+            )
+            eng.run(seeds_path=f"{fixtures.root}/feeds.txt", max_epochs=100)
+            engines[name] = eng
+            log = store.read_table(spark, "crawl_log")
+            fr_t = store.read_table(spark, "frontier")
+            outs[name] = (
+                sorted(map(tuple, log.select("epoch", "crawl_rank", "url_canon").collect())),
+                sorted(r["url_canon"] for r in fr_t.select("url_canon").collect()),
+            )
+        assert outs["every_epoch"] == outs["amortized"]
+        # the amortized engine actually used the tier at some point:
+        # after the final fold it may be None again, so check the fold
+        # bookkeeping advanced past the initial state
+        eng = engines["amortized"]
+        assert eng._hot is not None or eng._last_fold_epoch > 0
+
+
 class TestSaltedEpoch:
     """Hot-host salting wired into CrawlEngine.run_epoch (north rule,
     VERDICT r4 item 2): salting must not change the crawl ordering or
