@@ -263,12 +263,42 @@ class CuckooFilter:
                 return
         self.stash.append((int(cur), int(f)))
 
+    def _bulk_place(self, idx: np.ndarray, fp: np.ndarray) -> None:
+        """Vectorized placement: two rounds (preferred bucket, then
+        alternate) of sorted-by-bucket free-slot assignment; only keys
+        still homeless after both rounds fall back to the scalar
+        eviction loop (rare below ~0.8 load). O(batch log batch)."""
+        pend_idx, pend_fp = idx.astype(np.int64), fp.astype(np.uint16)
+        for attempt in range(2):
+            if len(pend_idx) == 0:
+                return
+            order = np.argsort(pend_idx, kind="stable")
+            bi, bf = pend_idx[order], pend_fp[order]
+            first = np.concatenate(([True], bi[1:] != bi[:-1])) if len(bi) else np.zeros(0, bool)
+            run_start = np.flatnonzero(first)
+            run_id = np.cumsum(first) - 1
+            rank = np.arange(len(bi)) - run_start[run_id]
+            free = self.buckets[bi] == 0  # (n, 4)
+            occ = self.BUCKET_SLOTS - free.sum(axis=1)
+            fits = (occ + rank) < self.BUCKET_SLOTS
+            # rank-th free slot of each key's bucket (argsort: zeros first)
+            slot_order = np.argsort(~free, axis=1, kind="stable")
+            tgt = slot_order[np.arange(len(bi)), np.minimum(rank, self.BUCKET_SLOTS - 1)]
+            self.buckets[bi[fits], tgt[fits]] = bf[fits]
+            rem = ~fits
+            if attempt == 0:
+                pend_idx = self._alt(bi[rem], bf[rem])
+                pend_fp = bf[rem]
+            else:
+                for j in np.flatnonzero(rem):
+                    self._insert_fp(int(bi[j]), int(bf[j]))
+                return
+
     def add_many(self, keys: np.ndarray) -> None:
         if len(keys) == 0:
             return
         fp, i1, _ = self._fp_i1_i2(keys)
-        for j in range(len(keys)):
-            self._insert_fp(int(i1[j]), int(fp[j]))
+        self._bulk_place(i1, fp)
 
     def delete_many(self, keys: np.ndarray) -> int:
         """Remove ONE stored occurrence per key (the cuckoo capability
@@ -323,8 +353,7 @@ class CuckooFilter:
         assert self.n_buckets == other.n_buckets
         out = CuckooFilter(self.n_buckets, self.buckets.copy(), list(self.stash))
         rows, slots = np.nonzero(other.buckets)
-        for b, s in zip(rows, slots):
-            out._insert_fp(int(b), int(other.buckets[b, s]))
+        out._bulk_place(rows.astype(np.int64), other.buckets[rows, slots])
         for bi, sf in other.stash:
             out._insert_fp(int(bi), int(sf))
         return out
@@ -472,13 +501,56 @@ def build_bloom(
     ``like`` builds with another filter's geometry so the result can be
     merged into it (incremental maintenance: per epoch, build over only
     the epoch's insertions and OR into the running filter — never
-    re-scan the full seen set)."""
+    re-scan the full seen set).
+
+    The ``like`` path builds SPARSELY: a batch of B keys sets at most
+    B·k bits, so each partition emits only its touched (word_index,
+    word_bits) pairs — never a full-geometry array. The dense partial
+    path made every small delta build O(filter_size × partitions) in
+    serialization alone (measured 40–169 s per 20k-row delta at a
+    10^8-key geometry; at the 10^10 design point a single 15 GB
+    partial per partition is simply unshippable). Sparse partials are
+    O(batch) end-to-end; the driver ORs them into one fresh array."""
     if like is not None:
         n_blocks, kk = like.n_blocks, like.k
     else:
         n = expected_items or seen.count()
         proto = BloomFilter.sized_for(n, bits_per_item=bits_per_item, k=k)
         n_blocks, kk = proto.n_blocks, proto.k
+
+    if like is not None:
+        proto = BloomFilter(n_blocks, kk, words=np.zeros(0, dtype=np.uint64))  # hash geometry only
+
+        def part_sparse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            idxs, masks = [], []
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                keys = pdf["__k"].to_numpy(dtype=np.int64).astype(np.uint64) % np.uint64(2**63)
+                block, bit = proto._positions(keys)
+                idxs.append((block[:, None] * np.uint64(_BLOCK_WORDS) + bit // np.uint64(64)).ravel())
+                masks.append((np.uint64(1) << (bit % np.uint64(64))).ravel())
+            if idxs:
+                w = np.concatenate(idxs)
+                m = np.concatenate(masks)
+                order = np.argsort(w, kind="stable")
+                w, m = w[order], m[order]
+                uniq, starts = np.unique(w, return_index=True)
+                ored = np.bitwise_or.reduceat(m, starts)
+                yield pd.DataFrame({"idx": [uniq.tobytes()], "bits": [ored.tobytes()]})
+            else:
+                yield pd.DataFrame({"idx": [b""], "bits": [b""]})
+
+        keys_df = seen.select(_key_col(key_col).alias("__k"))
+        if keys_df.rdd.getNumPartitions() > 32:
+            keys_df = keys_df.coalesce(32)
+        words = np.zeros(n_blocks * _BLOCK_WORDS, dtype=np.uint64)
+        # P rows of ≤ batch·k pairs each — driver receives O(batch)
+        for r in keys_df.mapInPandas(part_sparse, "idx binary, bits binary").collect():
+            if r["idx"]:
+                wi = np.frombuffer(r["idx"], dtype=np.uint64).astype(np.int64)
+                np.bitwise_or.at(words, wi, np.frombuffer(r["bits"], dtype=np.uint64))
+        return BloomFilter(n_blocks, kk, words)
 
     def comb_op(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return a | b

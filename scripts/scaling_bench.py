@@ -416,6 +416,36 @@ with earlier rounds.
 | total measured hypervisor steal | {total_steal:.0f} s over {total_wall:.0f} s of bench wall time |
 | pure-Python control ceiling (bracketing, best) | {py_ceiling:.2f}× ({ctrl_small:.2f} s / {ctrl_large:.2f} s) |
 {outlier_md}
+## Seen-filter maintenance: sparse deltas + cuckoo hot tier (r5)
+
+Two maintenance-path changes, A/B'd by `scripts/hot_tier_bench.py`
+(8 epochs × 20k insertions against a 10^8-key-geometry Bloom,
+local[16]; per-epoch probe included):
+
+1. **Sparse delta builds** — `build_bloom(like=...)` now emits only
+   each partition's touched (word, bits) pairs instead of a
+   full-geometry partial array. A 20k-row delta build at 10^8-key
+   geometry: 40–169 s dense → **1.4 s** sparse. At the 10^10 design
+   point a dense 15 GB partial per partition is unshippable — the
+   sparse path is what makes incremental maintenance exist at scale.
+2. **Cuckoo hot tier** (`CuckooFilter` + `build_cuckoo`, engine knob
+   `bloom_fold_epochs`): insertions land in a batch-sized cuckoo
+   (vectorized bulk placement: 200k inserts in 0.43 s); probes are
+   bloom-OR-hot; the big Bloom's fold AND its re-broadcast (merge →
+   new object → re-ship; ~15 GB at 10^10 keys) are amortized across
+   N epochs.
+
+| maintenance path | 8-epoch wall | |
+|---|---|---|
+| fold every epoch (sparse) | 20.6 s | re-broadcasts the big Bloom every epoch |
+| hot tier, one fold | 14.3 s | **1.44×** — gap grows with filter size (re-broadcast is O(filter), tier is O(batch)) |
+
+Crawl output is bit-identical across paths
+(`tests/test_crawl_engine.py::TestHotTierFold`); exactness never
+depends on either filter (anti-join backstop), only the
+definite-unseen bypass does, and `tests/test_cuckoo.py` includes the
+negative control showing why the tier must cover unfolded rows.
+
 ## Hot-host salting delta (r5)
 
 The epoch loop now salts hosts above `salt_hot_batch_threshold` rows
