@@ -447,6 +447,57 @@ def build_sharded_bloom(
         proto = BloomFilter.sized_for(max(1, n // n_shards), bits_per_item=bits_per_item, k=k)
         default_geom = (proto.n_blocks, proto.k)
 
+    keys_df = seen.select(
+        _key_col(key_col).alias("__k"), _host_bucket_col(key_col, n_shards).alias("__b")
+    )
+    if keys_df.rdd.getNumPartitions() > 32:
+        keys_df = keys_df.coalesce(32)
+
+    if like is not None:
+        # SPARSE delta build (same rationale as build_bloom's like=
+        # path): a batch sets ≤ B·k bits across its touched shards —
+        # emit (shard, word_index, word_bits) triples, never a dense
+        # shard-geometry array per touched shard per partition.
+        def part_sparse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc: dict[int, tuple[list, list]] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ks = pdf["__k"].to_numpy(dtype=np.int64).astype(np.uint64) % np.uint64(2**63)
+                bs = pdf["__b"].to_numpy(dtype=np.int64)
+                for s in np.unique(bs):
+                    nb, kk = geom.get(int(s), default_geom)
+                    proto = BloomFilter(nb, kk, words=np.zeros(0, dtype=np.uint64))
+                    block, bit = proto._positions(ks[bs == s])
+                    w = (block[:, None] * np.uint64(_BLOCK_WORDS) + bit // np.uint64(64)).ravel()
+                    m = (np.uint64(1) << (bit % np.uint64(64))).ravel()
+                    lists = acc.setdefault(int(s), ([], []))
+                    lists[0].append(w)
+                    lists[1].append(m)
+            rows = {"shard": [], "idx": [], "bits": []}
+            for s, (ws, ms) in acc.items():
+                w = np.concatenate(ws)
+                m = np.concatenate(ms)
+                order = np.argsort(w, kind="stable")
+                w, m = w[order], m[order]
+                uniq, starts = np.unique(w, return_index=True)
+                rows["shard"].append(s)
+                rows["idx"].append(uniq.tobytes())
+                rows["bits"].append(np.bitwise_or.reduceat(m, starts).tobytes())
+            yield pd.DataFrame(rows) if rows["shard"] else pd.DataFrame(
+                {"shard": pd.Series(dtype="int"), "idx": pd.Series(dtype=object),
+                 "bits": pd.Series(dtype=object)}
+            )
+
+        shards: dict[int, BloomFilter] = {}
+        for r in keys_df.mapInPandas(part_sparse, "shard int, idx binary, bits binary").collect():
+            s = int(r["shard"])
+            nb, kk = geom.get(s, default_geom)
+            bf = shards.setdefault(s, BloomFilter(nb, kk))
+            wi = np.frombuffer(r["idx"], dtype=np.uint64).astype(np.int64)
+            np.bitwise_or.at(bf.words, wi, np.frombuffer(r["bits"], dtype=np.uint64))
+        return ShardedBloom(n_shards, shards, k)
+
     def part_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         partial: dict[int, BloomFilter] = {}
         for pdf in batches:
@@ -462,11 +513,6 @@ def build_sharded_bloom(
             {"shard": list(partial), "words": [bf.words.tobytes() for bf in partial.values()]}
         )
 
-    keys_df = seen.select(
-        _key_col(key_col).alias("__k"), _host_bucket_col(key_col, n_shards).alias("__b")
-    )
-    if keys_df.rdd.getNumPartitions() > 32:
-        keys_df = keys_df.coalesce(32)
     parts = keys_df.mapInPandas(part_shards, "shard int, words binary")
     merged = (
         parts.rdd.map(lambda r: (r["shard"], np.frombuffer(r["words"], dtype=np.uint64)))
