@@ -375,6 +375,34 @@ class TestHotTierFold:
         eng = engines["amortized"]
         assert eng._hot is not None or eng._last_fold_epoch > 0
 
+    def test_resume_with_hot_tier_is_byte_identical(self, spark, fixtures, tmp_path_factory):
+        """Kill mid-crawl with an UNFOLDED hot tier, resume in a fresh
+        engine: the tier is process-local state, so the invariant
+        (bloom ∪ hot ⊇ seen) must be re-established from the store —
+        the resumed process rebuilds the full Bloom on first probe.
+        Final state must equal an uninterrupted amortized run AND the
+        fold-every-epoch run."""
+        cfg = dict(batch_size=8, per_host_cap=2, num_partitions=4, bloom_fold_epochs=4)
+
+        def crawl(store_dir, max_epochs=100, resume=False):
+            eng = CrawlEngine(
+                spark, SnapshotStore(store_dir), fixtures.root, config=CrawlConfig(**cfg)
+            )
+            if resume:
+                eng.run(max_epochs=max_epochs, resume=True)
+            else:
+                eng.run(seeds_path=f"{fixtures.root}/feeds.txt", max_epochs=max_epochs)
+            return eng
+
+        d1 = str(tmp_path_factory.mktemp("hot_uninterrupted"))
+        full = crawl(d1)
+        d2 = str(tmp_path_factory.mktemp("hot_interrupted"))
+        crawl(d2, max_epochs=2)  # killed with tier state lost
+        resumed = crawl(d2, resume=True)
+        assert resumed.crawl_order() == full.crawl_order()
+        assert resumed.seen_set() == full.seen_set()
+        assert resumed.fetched_image_ids() == full.fetched_image_ids()
+
 
 class TestSaltedEpoch:
     """Hot-host salting wired into CrawlEngine.run_epoch (north rule,
