@@ -276,9 +276,11 @@ class CrawlEngine:
             fold_rows = frontier.where(
                 F.col("discovered_epoch") > F.lit(int(self._last_fold_epoch))
             ).select("url_canon")
-            self._bloom = self._bloom.merge(
-                build_bloom(fold_rows, "url_canon", like=self._bloom)
-            )
+            if self.cfg.bloom_shards:
+                delta = build_sharded_bloom(fold_rows, "url_canon", like=self._bloom)
+            else:
+                delta = build_bloom(fold_rows, "url_canon", like=self._bloom)
+            self._bloom = self._bloom.merge(delta)
             self._hot = None
             self._epochs_since_fold = 0
             self._last_fold_epoch = epoch - 1
@@ -449,12 +451,13 @@ class CrawlEngine:
             ).cache()
             n_new = new_rows.count()
             if self.cfg.use_bloom and n_new:
-                if self.cfg.bloom_fold_epochs > 1 and not self.cfg.bloom_shards:
+                if self.cfg.bloom_fold_epochs > 1:
                     # O(batch) maintenance: insertions land in the
-                    # cuckoo hot tier; the O(filter-size) Bloom OR is
-                    # deferred to the amortized fold at epoch start.
-                    # (Sharded blooms keep per-epoch shard merges: each
-                    # shard is already ~1/n_shards of the monolith.)
+                    # cuckoo hot tier; the O(filter-size) Bloom OR +
+                    # full re-broadcast are deferred to the amortized
+                    # fold at epoch start. Works for both filter
+                    # families — the tier is monolithic (batch-sized)
+                    # and probes OR it in after the (sharded) Bloom.
                     if self._hot is None:
                         self._hot = CuckooFilter.sized_for(self.cfg.hot_tier_capacity)
                     self._hot = self._hot.merge(

@@ -375,6 +375,31 @@ class TestHotTierFold:
         eng = engines["amortized"]
         assert eng._hot is not None or eng._last_fold_epoch > 0
 
+    def test_sharded_bloom_with_hot_tier_identical(self, spark, fixtures, tmp_path_factory):
+        """The 10^10 flagship config — sharded Bloom + cuckoo hot tier
+        + amortized folds — must produce the same crawl as the plain
+        monolith fold-every-epoch default."""
+        outs = {}
+        for name, kw in (
+            ("default", {}),
+            ("sharded_hot", {"bloom_shards": 4, "bloom_fold_epochs": 3}),
+        ):
+            store = SnapshotStore(str(tmp_path_factory.mktemp(f"sh_{name}")))
+            eng = CrawlEngine(
+                spark,
+                store,
+                fixtures.root,
+                config=CrawlConfig(batch_size=8, per_host_cap=2, num_partitions=4, **kw),
+            )
+            eng.run(seeds_path=f"{fixtures.root}/feeds.txt", max_epochs=100)
+            log = store.read_table(spark, "crawl_log")
+            fr_t = store.read_table(spark, "frontier")
+            outs[name] = (
+                sorted(map(tuple, log.select("epoch", "crawl_rank", "url_canon").collect())),
+                sorted(r["url_canon"] for r in fr_t.select("url_canon").collect()),
+            )
+        assert outs["default"] == outs["sharded_hot"]
+
     def test_resume_with_hot_tier_is_byte_identical(self, spark, fixtures, tmp_path_factory):
         """Kill mid-crawl with an UNFOLDED hot tier, resume in a fresh
         engine: the tier is process-local state, so the invariant
