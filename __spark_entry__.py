@@ -861,6 +861,77 @@ LIMIT {k}
 """
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup — the fifth dedup family (exact /
+    MinHash-LSH / SimHash / n-gram Jaccard / embedding cosine), each
+    oracle-checked per the brief. Dedup-shaped (every pair above the
+    threshold), not ranking-shaped like lsh_cosine_topk: same seeded
+    hyperplane candidate generation, bucket-capped, exact rounded
+    cosine ≥ τ. τ=0.40 sits just under the synthetic corpus's max
+    pairwise cosine (~0.51 — random Gaussians, no planted dups) so the
+    answer is non-vacuous at every SF."""
+    from podcast_plow_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(spark, _spread(_t(spark, sf_dir, "embeddings")), threshold=0.40)
+
+
+def _embedding_near_dup_oracle_sql(
+    threshold: float = 0.40,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    bucket_cap: int = 200,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of embedding_near_dup_pairs: identical seeded
+    hyperplanes (full-precision literals), band/bucket packing,
+    HAVING-capped buckets (== _drop_hot_keys), candidate equi-join,
+    and the threshold applied to the 4-dp ROUNDED cosine on both
+    engines so the boundary is reproducible."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    rows_per_band = n_planes // n_bands
+
+    def plane_lit(i: int) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]"
+
+    def bucket_expr(b: int) -> str:
+        terms = [
+            f"(CASE WHEN list_dot_product(e, {plane_lit(b * rows_per_band + r)}) >= 0 "
+            f"THEN {1 << r} ELSE 0 END)"
+            for r in range(rows_per_band)
+        ]
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band, {bucket_expr(b)} AS bucket FROM e0"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+bands AS (
+{band_selects}
+),
+ok AS (
+  SELECT * FROM bands
+  WHERE (band, bucket) IN (
+    SELECT (band, bucket) FROM bands GROUP BY band, bucket HAVING COUNT(*) <= {bucket_cap})
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM ok a JOIN ok b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.a_id, c.b_id,
+       ROUND(list_cosine_similarity(ea.e, eb.e), 4) AS cos_sim
+FROM cand c JOIN e0 ea ON ea.vec_id = c.a_id JOIN e0 eb ON eb.vec_id = c.b_id
+WHERE ROUND(list_cosine_similarity(ea.e, eb.e), 4) >= {threshold}
+"""
+
+
 # ----------------------------------------------------------------------
 # Batch 2 — windows, scheduling variants, text kernels, training ops
 # ----------------------------------------------------------------------
@@ -1875,7 +1946,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_by_source_rank": q_first_by_source_rank,
         "semi_join_urgent": q_semi_join_urgent,
         "having_gate": q_having_gate,
-        "shipping_priority": q_shipping_priority,
+        # shipping_priority rotated out under the same 50-row cap
+        # (round 5, admitting embedding_near_dup — the brief's fifth
+        # dedup family needs an oracle row): its J1 3-way-join shape
+        # stays witnessed by local_supplier_volume + the
+        # BroadcastHashJoin plan test; q_shipping_priority/_SQL_SHIPPING
+        # remain importable.
+        "embedding_near_dup": q_embedding_near_dup,
         "collect_evidence_lists": q_collect_evidence_lists,
         "upsert_customers": q_upsert_customers,
         "insert_if_absent": q_insert_if_absent,
@@ -1926,7 +2003,7 @@ def oracle_sql() -> dict[str, str]:
         "first_by_source_rank": _SQL_SOURCE_RANK,
         "semi_join_urgent": _SQL_SEMI_URGENT,
         "having_gate": _SQL_HAVING,
-        "shipping_priority": _SQL_SHIPPING,
+        "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         "collect_evidence_lists": _SQL_COLLECT,
         "upsert_customers": _SQL_UPSERT,
         "insert_if_absent": _SQL_INSERT_ABSENT,

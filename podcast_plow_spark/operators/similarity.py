@@ -42,6 +42,7 @@ __all__ = [
     "cosine_topk_pairs",
     "lsh_cosine_buckets",
     "lsh_cosine_topk_pairs",
+    "embedding_near_dup_pairs",
     "ivf_assignments",
     "ivf_cosine_topk_pairs",
 ]
@@ -330,3 +331,75 @@ def ivf_cosine_topk_pairs(
         .orderBy(F.col("cos_sim").desc(), F.col("a_id").asc(), F.col("b_id").asc())
         .limit(k)
     )
+
+
+def embedding_near_dup_pairs(
+    spark: SparkSession,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.40,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    bucket_cap: int | None = 200,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine NEAR-DUPLICATE pairs — the fifth dedup family
+    (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+    cosine). Unlike :func:`lsh_cosine_topk_pairs` (global top-k,
+    ranking-shaped) this is dedup-shaped: EVERY pair whose exact
+    cosine clears ``threshold`` comes out, with the same LSH-pruned
+    candidate generation (reference has no vector ops — pgvector
+    loaded but unused, reference infra/initdb/001_init.sql:3).
+
+    Same discipline as the text dedup family (operators/dedup.py):
+    candidates only ever come from an equi-join on (band, bucket) —
+    never all-pairs — and degenerate buckets (e.g. a zero-vector pile
+    or any bucket holding > ``bucket_cap`` vectors, O(cap²) pairs) are
+    excluded from candidate generation eagerly and loudly via the
+    shared heavy-hitter cap. Recall is the LSH collision probability
+    at ``threshold`` (the oracle replays the identical seeded
+    hyperplanes, so parity is exact); raising ``n_bands`` or lowering
+    bits-per-band trades shuffle volume for recall, as usual.
+
+    The threshold is applied to the ROUNDED cosine so the boundary is
+    reproducible across engines (numpy float64 vs SQL double agree at
+    ``round_digits`` but not at ulp granularity).
+
+    Returns (a_id, b_id, cos_sim) with a_id < b_id, one row per
+    qualifying pair, unordered (set semantics).
+    """
+    from podcast_plow_spark.operators.dedup import _drop_hot_keys
+
+    buckets = lsh_cosine_buckets(emb, id_col, vec_col, n_planes, n_bands, seed)
+    if bucket_cap is not None:
+        buckets = _drop_hot_keys(buckets, ["band", "bucket"], bucket_cap, "cosine LSH buckets")
+    a = buckets.select(F.col(id_col).alias("a_id"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("b_id"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    vb = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    pairs = cand.join(va, "a_id").join(vb, "b_id")
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            am = np.stack(pdf["a_vec"].to_numpy()).astype(np.float64)
+            bm = np.stack(pdf["b_vec"].to_numpy()).astype(np.float64)
+            dots = np.einsum("ij,ij->i", am, bm)
+            na = np.linalg.norm(am, axis=1)
+            nb = np.linalg.norm(bm, axis=1)
+            cos = dots / np.where(na * nb == 0, 1.0, na * nb)
+            yield pd.DataFrame({"a_id": pdf["a_id"], "b_id": pdf["b_id"], "cos_sim": cos})
+
+    scored = pairs.mapInPandas(rerank, schema="a_id long, b_id long, cos_sim double")
+    return scored.select(
+        "a_id", "b_id", F.round(F.col("cos_sim"), round_digits).alias("cos_sim")
+    ).where(F.col("cos_sim") >= F.lit(threshold))

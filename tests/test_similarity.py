@@ -94,3 +94,60 @@ def test_ivf_assignment_is_deterministic_and_multi_probe(spark, emb):
     for vid, cell in a1:
         per_id.setdefault(vid, set()).add(cell)
     assert all(len(cells) == 3 for cells in per_id.values())  # 3 distinct probes
+
+
+def test_embedding_near_dup_precision_and_shape(spark, emb):
+    """Dedup-shaped cosine near-dup: every emitted pair is a TRUE
+    above-threshold pair (precision 1.0 — the rerank is exact), pairs
+    are canonical (a_id < b_id) with no duplicates, and recall over
+    the brute-force ground truth clears the LSH collision floor at
+    this threshold/band setting on the fixed corpus."""
+    import numpy as np
+
+    from podcast_plow_spark.operators.similarity import embedding_near_dup_pairs
+
+    tau = 0.40
+    got = embedding_near_dup_pairs(spark, emb, threshold=tau).collect()
+    keys = [(r["a_id"], r["b_id"]) for r in got]
+    assert len(keys) == len(set(keys))
+    assert all(a < b for a, b in keys)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    iu = np.triu_indices(len(ids), k=1)
+    exact = {}
+    for i, j, s in zip(iu[0], iu[1], sims[iu]):
+        if round(float(s), 4) >= tau:
+            a, b = sorted((int(ids[i]), int(ids[j])))
+            exact[(a, b)] = round(float(s), 4)
+    assert exact, "corpus/threshold choice must be non-vacuous"
+
+    for r in got:
+        k = (r["a_id"], r["b_id"])
+        assert k in exact, f"false positive {k} cos={r['cos_sim']}"
+        assert abs(r["cos_sim"] - exact[k]) < 1e-9
+
+    recall = len(keys) / len(exact)
+    assert recall >= 0.5, f"recall {recall} below floor ({len(keys)}/{len(exact)})"
+
+
+def test_embedding_near_dup_bucket_cap_drops_hot_buckets(spark):
+    """A degenerate corpus (many identical vectors → one LSH bucket
+    per band) trips the heavy-hitter cap: the hot bucket is excluded
+    from candidate generation, so no O(cap²) pair blow-up."""
+    import numpy as np
+
+    from podcast_plow_spark.operators.similarity import embedding_near_dup_pairs
+
+    n = 40
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(64)
+    data = [(i, (base + rng.standard_normal(64) * 1e-3).tolist()) for i in range(n)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    out = embedding_near_dup_pairs(spark, df, threshold=0.9, bucket_cap=10).collect()
+    assert out == []  # every bucket exceeds the cap -> zero candidates
+    out2 = embedding_near_dup_pairs(spark, df, threshold=0.9, bucket_cap=None).collect()
+    assert len(out2) == n * (n - 1) // 2  # cap off: full clique survives exactly
