@@ -344,6 +344,7 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     bucket_cap: int | None = 200,
     round_digits: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine NEAR-DUPLICATE pairs — the fifth dedup family
     (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
@@ -372,7 +373,7 @@ def embedding_near_dup_pairs(
     """
     from podcast_plow_spark.operators.dedup import _drop_hot_keys
 
-    buckets = lsh_cosine_buckets(emb, id_col, vec_col, n_planes, n_bands, seed)
+    buckets = lsh_cosine_buckets(emb, id_col, vec_col, n_planes, n_bands, seed, dim)
     if bucket_cap is not None:
         buckets = _drop_hot_keys(buckets, ["band", "bucket"], bucket_cap, "cosine LSH buckets")
     a = buckets.select(F.col(id_col).alias("a_id"), "band", "bucket")
