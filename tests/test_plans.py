@@ -204,3 +204,32 @@ def test_word_shingles_has_no_exchange(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(word_shingles(docs))
     assert "Exchange" not in plan, plan
+
+
+def test_embedding_near_dup_candidates_are_equi_join_no_cartesian(spark):
+    """The dedup-family invariant at the plan level: candidate pairs
+    come from a hash equi-join on (band, bucket) — never a cartesian /
+    broadcast-nested-loop all-pairs — and the bytes-free rerank join
+    back to vectors is also an equi-join."""
+    import __spark_entry__ as m
+
+    df = m.q_embedding_near_dup(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    joins = plan.count("HashJoin") + plan.count("SortMergeJoin")
+    assert joins >= 3, plan  # band/bucket candidate join + two id joins
+
+
+def test_multimodal_feature_scan_prunes_to_payload_columns(spark, tmp_path_factory):
+    """extract_image_features must not read caption/phash: the Arrow
+    exchange ships only what the UDF consumes (at 10^10 rows, shipping
+    an unread string column through Arrow is real money)."""
+    from podcast_plow_spark.sources.images import generate_image_table
+    from podcast_plow_spark.sources.multimodal import extract_image_features
+
+    path = str(tmp_path_factory.mktemp("plans") / "img")
+    generate_image_table(spark, 8, path, w=16, h=16, partitions=1)
+    imgs = spark.read.parquet(path).select("image_id", "bytes", "w", "h", "fmt")
+    plan = _plan(extract_image_features(imgs))
+    assert "caption" not in plan and "phash" not in plan, plan
