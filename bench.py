@@ -46,7 +46,10 @@ def main() -> None:
     # clearCache between runs keeps the number honest: operator-internal
     # .cache() calls (dedup substrates) never carry data into the next
     # timed run, so each measurement is a cold-data/warm-JIT execution.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Default 3 reps since round 5: the r4→r5 regression recheck
+    # (BENCH/R5_REGRESSION_RECHECK.md) showed best-of-2 does not damp
+    # the host's slow-state bursts; best-of-3 reproduced r3 totals.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     for name, fn in sorted(qs.items()):
         best = float("inf")
         for _ in range(reps):
