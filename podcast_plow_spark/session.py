@@ -28,7 +28,11 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
-    ``cores`` may be an int (→ ``local[n]``) or a full master string.
+    ``cores`` may be an int (→ ``local[n]``), a full master string
+    (``local[*]``, ``local-cluster[n,c,m]``, ``spark://…``), or the
+    sentinel ``"submit"`` — meaning the master (and driver memory)
+    were fixed by ``spark-submit`` and must not be overridden here;
+    every other engine conf still applies.
     """
     # one BLAS thread per python worker: N workers × M-thread BLAS pools
     # oversubscribe the box and anti-scale every numpy kernel
@@ -36,14 +40,16 @@ def get_spark(
         os.environ.setdefault(var, "1")
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    from_submit = str(cores) == "submit"
     master = f"local[{cores}]" if not str(cores).startswith(("local", "spark://", "yarn")) else str(cores)
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
+    builder = SparkSession.builder.appName(app_name)
+    if not from_submit:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -57,14 +63,20 @@ def get_spark(
         # frontier files on its timestamp component, not just priority
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # local mode: driver heap IS the executor heap — size it for
-        # 32 concurrent task threads (execution memory) + cached tables,
-        # else execution evicts storage and cached plans silently
-        # recompute (measured 3× per-epoch regression at local[32])
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
+    if not from_submit:
+        # local mode: driver heap IS the executor heap — size it for
+        # 32 concurrent task threads (execution memory) + cached tables,
+        # else execution evicts storage and cached plans silently
+        # recompute (measured 3× per-epoch regression at local[32]).
+        # Under spark-submit the driver JVM is already up — its heap is
+        # whatever --driver-memory said; setting the conf here would be
+        # silently ignored, so don't pretend.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
     # Shuffle/spill to tmpfs when useful: this VM's virtualized
     # disk makes shuffle-block commits pathologically slow (measured
     # 84 s of cumulative shuffle-write time for a 16 MiB exchange —
