@@ -321,8 +321,11 @@ def q_risk_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from podcast_plow_spark.functions.text import risk_level_col
 
     d = _t(spark, sf_dir, "documents")
+    # r6: materialize lower(text) once — the rlike tiers are CASE WHEN
+    # branches, each of which would otherwise re-lowercase the full text
+    lowered = d.select(F.lower(F.col("text")).alias("__lt"))
     return (
-        d.select(risk_level_col(F.lower(F.col("text"))).alias("risk_level"))
+        lowered.select(risk_level_col(F.col("__lt")).alias("risk_level"))
         .groupBy("risk_level")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("risk_level")
@@ -1104,10 +1107,18 @@ def q_topic_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from podcast_plow_spark.functions.text import normalise_col, topic_domain_cols
 
     d = _t(spark, sf_dir, "documents")
-    norm = normalise_col(F.col("text"))
-    topic, domain = topic_domain_cols(norm)
+    # r6 optimization (guide §4.4-adjacent): materialize the normalised
+    # text ONCE in its own projection before the 32-branch when-chain.
+    # Conditions inside CASE WHEN are conditionally evaluated, so
+    # Spark's subexpression elimination never hoists the 2×
+    # regexp_replace chain out of them — inlining `norm` into
+    # topic_domain_cols re-ran the regexes up to 32× per row (11.6 s at
+    # sf1.0 → ~1.3 s). CollapseProject keeps the barrier because a
+    # non-cheap expression with many uses is never inlined.
+    normed = d.select(normalise_col(F.col("text")).alias("__t"))
+    topic, domain = topic_domain_cols(F.col("__t"))
     return (
-        d.select(topic.alias("topic"), domain.alias("domain"))
+        normed.select(topic.alias("topic"), domain.alias("domain"))
         .groupBy("topic", "domain")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("topic")

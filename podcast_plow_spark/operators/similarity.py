@@ -35,7 +35,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -46,6 +46,135 @@ __all__ = [
     "ivf_assignments",
     "ivf_cosine_topk_pairs",
 ]
+
+
+# --- shared grouped-matmul pair kernel -------------------------------------
+#
+# Optimization r6 (guide §8: "decide with small rows, move big rows once"):
+# the LSH / IVF candidate stages used to materialize the full candidate
+# pair relation (DISTINCT over O(sum g²) (a_id, b_id) rows), then attach
+# both 64-dim vectors to every pair with two shuffle joins, then score
+# row-at-a-time in pandas. At sf1.0 (20k vectors) the IVF config
+# (n_cells=8, n_probe=3) produces ~2×10⁸ candidate rows — the pair
+# relation with vectors attached is ~100 GB-shaped and the query took
+# 89.7 s. The grouped path below shuffles each VECTOR once per
+# assignment (n_probe / n_bands rows, not per pair), computes every
+# within-group similarity with one BLAS matmul per block pair, prunes to
+# the per-combo top-k (a provable superset of the global top-k), and
+# only then deduplicates the few surviving (a_id, b_id, cos) triples.
+# Nothing pair-shaped is ever shuffled with payload attached.
+
+
+def _block_pair_combos(
+    emb: DataFrame,
+    assignments: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    vec_col: str,
+    block_rows: int,
+) -> DataFrame:
+    """Attach vectors to group assignments, split each group into
+    blocks of ≤ ``block_rows`` rows, and build the upper triangle of
+    the per-group block grid. Each id appears at most once per group,
+    so within a group every (blk_a ≤ blk_b) cell enumerates each
+    unordered pair exactly once (the blk_a == blk_b diagonal is masked
+    to a_id < b_id inside the kernel)."""
+    vecs = emb.select(F.col(id_col), F.col(vec_col).alias("__vec"))
+    src = assignments.join(vecs, id_col)
+    w = Window.partitionBy(*group_cols).orderBy(F.col(id_col))
+    src = src.withColumn("blk", ((F.row_number().over(w) - 1) / block_rows).cast("int"))
+    blocks = src.groupBy(*group_cols, "blk").agg(
+        F.collect_list(id_col).alias("ids"), F.collect_list("__vec").alias("vecs")
+    )
+    a = blocks.select(
+        *group_cols, F.col("blk").alias("blk_a"),
+        F.col("ids").alias("a_ids"), F.col("vecs").alias("a_vecs"),
+    )
+    b = blocks.select(
+        *group_cols, F.col("blk").alias("blk_b"),
+        F.col("ids").alias("b_ids"), F.col("vecs").alias("b_vecs"),
+    )
+    # spread combo rows (each carries two vector blocks) over all cores:
+    # the group-key join alone would leave parallelism = n_groups
+    return (
+        a.join(b, group_cols)
+        .where(F.col("blk_a") <= F.col("blk_b"))
+        .repartition(*group_cols, "blk_a", "blk_b")
+    )
+
+
+def _combo_pairs_kernel(k: int | None, min_keep: float | None = None):
+    """mapInPandas kernel over block-pair combo rows: one BLAS matmul
+    per combo; cos = dot / (|a|·|b|) (zero-norm guarded), the same
+    float path as the per-pair rerank it replaces. ``k`` keeps only
+    the combo's top-k with boundary ties (exact-superset argument:
+    a pair beaten by ≥ k pairs inside its own combo is beaten by ≥ k
+    candidates globally, so it cannot be in the global top-k).
+    ``min_keep`` drops pairs strictly below a conservative floor
+    (callers filtering on the ROUNDED cosine must pass
+    threshold − 0.5·10^−digits − ε so no row that could round up past
+    the threshold is lost); either or both may be set."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                a_ids = np.asarray(row.a_ids, dtype=np.int64)
+                b_ids = np.asarray(row.b_ids, dtype=np.int64)
+                am = np.stack([np.asarray(v, dtype=np.float64) for v in row.a_vecs])
+                bm = np.stack([np.asarray(v, dtype=np.float64) for v in row.b_vecs])
+                na = np.linalg.norm(am, axis=1)
+                nb = np.linalg.norm(bm, axis=1)
+                denom = np.multiply.outer(na, nb)
+                sims = (am @ bm.T) / np.where(denom == 0, 1.0, denom)
+                if row.blk_a == row.blk_b:
+                    # diagonal cell: ids appear on both axes — keep one
+                    # orientation per pair, drop self-pairs
+                    sims = np.where(a_ids[:, None] >= b_ids[None, :], -np.inf, sims)
+                flat = sims.ravel()
+                keep = np.isfinite(flat)
+                if k is not None:
+                    kk = min(k, flat.size)
+                    thresh = np.partition(flat, flat.size - kk)[flat.size - kk]
+                    if np.isfinite(thresh):
+                        keep &= flat >= thresh  # boundary ties kept — exactness
+                if min_keep is not None:
+                    keep &= flat >= min_keep
+                idx = np.nonzero(keep)[0]
+                if idx.size == 0:
+                    continue
+                ai, bi = np.unravel_index(idx, sims.shape)
+                lo = np.minimum(a_ids[ai], b_ids[bi])
+                hi = np.maximum(a_ids[ai], b_ids[bi])
+                yield pd.DataFrame({"a_id": lo, "b_id": hi, "cos_sim": flat[idx]})
+
+    return kernel
+
+
+def _grouped_topk_pairs(
+    emb: DataFrame,
+    assignments: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_digits: int,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Global top-k cosine pairs over the within-group candidate set
+    (pairs sharing ≥ 1 group), computed without ever materializing the
+    candidate pair relation. A pair colliding in several groups is
+    scored identically in each (same float ops on the same vectors) —
+    ``dropDuplicates`` keeps one copy before the global TakeOrdered."""
+    combos = _block_pair_combos(emb, assignments, group_cols, id_col, vec_col, block_rows)
+    cand = combos.mapInPandas(
+        _combo_pairs_kernel(k), schema="a_id long, b_id long, cos_sim double"
+    )
+    return (
+        cand.dropDuplicates(["a_id", "b_id"])
+        .select("a_id", "b_id", F.round(F.col("cos_sim"), round_digits).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("a_id").asc(), F.col("b_id").asc())
+        .limit(k)
+    )
 
 
 def cosine_topk_pairs(
@@ -194,42 +323,20 @@ def lsh_cosine_topk_pairs(
     seed: int = 42,
     round_digits: int = 4,
 ) -> DataFrame:
-    """Scale path: LSH-pruned candidate pairs, exact cosine rerank.
+    """Scale path: LSH-pruned candidates, exact cosine rerank — the
+    candidate pair relation is never materialized (r6 optimization,
+    guide §8): vectors shuffle once per band into (band, bucket)
+    groups, each group's pair similarities come from one BLAS matmul
+    per block pair, and only the per-combo top-k (superset of the
+    global top-k) survives to the dedup + TakeOrdered.
 
     Recall is probabilistic (tested ≥ configured floor in
     tests/test_similarity.py); the brute-force operator remains the
     exactness baseline.
     """
     buckets = lsh_cosine_buckets(emb, id_col, vec_col, n_planes, n_bands, seed)
-    a = buckets.select(F.col(id_col).alias("a_id"), "band", "bucket")
-    b = buckets.select(F.col(id_col).alias("b_id"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
-    va = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    vb = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
-    pairs = cand.join(va, "a_id").join(vb, "b_id")
-
-    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            am = np.stack(pdf["a_vec"].to_numpy()).astype(np.float64)
-            bm = np.stack(pdf["b_vec"].to_numpy()).astype(np.float64)
-            dots = np.einsum("ij,ij->i", am, bm)
-            na = np.linalg.norm(am, axis=1)
-            nb = np.linalg.norm(bm, axis=1)
-            cos = dots / np.where(na * nb == 0, 1.0, na * nb)
-            yield pd.DataFrame({"a_id": pdf["a_id"], "b_id": pdf["b_id"], "cos_sim": cos})
-
-    scored = pairs.mapInPandas(rerank, schema="a_id long, b_id long, cos_sim double")
-    return (
-        scored.select("a_id", "b_id", F.round(F.col("cos_sim"), round_digits).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col("a_id").asc(), F.col("b_id").asc())
-        .limit(k)
+    return _grouped_topk_pairs(
+        emb, buckets, ["band", "bucket"], id_col, vec_col, k, round_digits
     )
 
 
@@ -300,37 +407,16 @@ def ivf_cosine_topk_pairs(
     round_digits: int = 4,
 ) -> DataFrame:
     """IVF-pruned top-k cosine pairs: candidates = pairs sharing any of
-    their ``n_probe`` cells (equi-join on cell — the inverted file),
-    exact cosine rerank, global TakeOrdered. The second scale tier
-    alongside the hyperplane-LSH path; recall floor asserted in
-    tests/test_similarity.py, exactness of the rerank by the DuckDB
-    oracle (centroids inlined)."""
+    their ``n_probe`` cells (the inverted file), exact cosine rerank,
+    global TakeOrdered. r6 optimization (guide §8): the candidate pair
+    relation (O(Σ cell²) rows — ~2×10⁸ at sf1.0 under the driver
+    config) is never materialized; vectors shuffle once per probe into
+    cells and each cell's similarities come from per-block-pair BLAS
+    matmuls, pruned to the per-combo top-k before the dedup +
+    TakeOrdered. Recall floor asserted in tests/test_similarity.py,
+    exactness of the rerank by the DuckDB oracle (centroids inlined)."""
     cells = ivf_assignments(emb, id_col, vec_col, n_cells, n_probe, seed)
-    a = cells.select(F.col(id_col).alias("a_id"), "cell")
-    b = cells.select(F.col(id_col).alias("b_id"), "cell")
-    cand = a.join(b, "cell").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id").distinct()
-    va = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    vb = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
-    pairs = cand.join(va, "a_id").join(vb, "b_id")
-
-    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            am = np.stack(pdf["a_vec"].to_numpy()).astype(np.float64)
-            bm = np.stack(pdf["b_vec"].to_numpy()).astype(np.float64)
-            dots = np.einsum("ij,ij->i", am, bm)
-            na = np.linalg.norm(am, axis=1)
-            nb = np.linalg.norm(bm, axis=1)
-            cos = dots / np.where(na * nb == 0, 1.0, na * nb)
-            yield pd.DataFrame({"a_id": pdf["a_id"], "b_id": pdf["b_id"], "cos_sim": cos})
-
-    scored = pairs.mapInPandas(rerank, schema="a_id long, b_id long, cos_sim double")
-    return (
-        scored.select("a_id", "b_id", F.round(F.col("cos_sim"), round_digits).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col("a_id").asc(), F.col("b_id").asc())
-        .limit(k)
-    )
+    return _grouped_topk_pairs(emb, cells, ["cell"], id_col, vec_col, k, round_digits)
 
 
 def embedding_near_dup_pairs(
@@ -376,31 +462,19 @@ def embedding_near_dup_pairs(
     buckets = lsh_cosine_buckets(emb, id_col, vec_col, n_planes, n_bands, seed, dim)
     if bucket_cap is not None:
         buckets = _drop_hot_keys(buckets, ["band", "bucket"], bucket_cap, "cosine LSH buckets")
-    a = buckets.select(F.col(id_col).alias("a_id"), "band", "bucket")
-    b = buckets.select(F.col(id_col).alias("b_id"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+    # r6 optimization (guide §8): same grouped-matmul path as the topk
+    # operators — no materialized candidate relation, no vector joins.
+    # The kernel pre-filters at threshold − 0.5·10^−digits − ε (a value
+    # below that floor can never ROUND up to the threshold), the exact
+    # gate below applies the same rounded-threshold predicate as before.
+    min_keep = threshold - 0.5 * 10.0 ** (-round_digits) - 1e-9
+    combos = _block_pair_combos(emb, buckets, ["band", "bucket"], id_col, vec_col, 2048)
+    scored = combos.mapInPandas(
+        _combo_pairs_kernel(None, min_keep=min_keep),
+        schema="a_id long, b_id long, cos_sim double",
     )
-    va = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    vb = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
-    pairs = cand.join(va, "a_id").join(vb, "b_id")
-
-    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            am = np.stack(pdf["a_vec"].to_numpy()).astype(np.float64)
-            bm = np.stack(pdf["b_vec"].to_numpy()).astype(np.float64)
-            dots = np.einsum("ij,ij->i", am, bm)
-            na = np.linalg.norm(am, axis=1)
-            nb = np.linalg.norm(bm, axis=1)
-            cos = dots / np.where(na * nb == 0, 1.0, na * nb)
-            yield pd.DataFrame({"a_id": pdf["a_id"], "b_id": pdf["b_id"], "cos_sim": cos})
-
-    scored = pairs.mapInPandas(rerank, schema="a_id long, b_id long, cos_sim double")
-    return scored.select(
-        "a_id", "b_id", F.round(F.col("cos_sim"), round_digits).alias("cos_sim")
-    ).where(F.col("cos_sim") >= F.lit(threshold))
+    return (
+        scored.select("a_id", "b_id", F.round(F.col("cos_sim"), round_digits).alias("cos_sim"))
+        .where(F.col("cos_sim") >= F.lit(threshold))
+        .dropDuplicates(["a_id", "b_id"])
+    )
