@@ -1623,7 +1623,10 @@ def q_luhn_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("__p") / _LUHN_SENT_LEN).cast("long").alias("sent_idx"),
         (F.col("__p") % _LUHN_SENT_LEN).cast("long").alias("__wp"),
     )
-    sig = base.where(~F.col("__w").isin(*_LUHN_STOPS))
+    # r6 (guide §2.3): project to (doc_id, sent_idx, __wp) BEFORE the
+    # window exchange — the word strings are not consumed past the
+    # stop-word filter and must not ride the shuffle
+    sig = base.where(~F.col("__w").isin(*_LUHN_STOPS)).select("doc_id", "sent_idx", "__wp")
     w_sent = Window.partitionBy("doc_id", "sent_idx").orderBy("__wp")
     sig = sig.withColumn(
         "__new", (F.col("__wp") - F.lag("__wp", 1, -100).over(w_sent) > _LUHN_GAP).cast("int")
@@ -1635,7 +1638,24 @@ def q_luhn_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__cnt") * F.col("__cnt") / (F.col("__hi") - F.col("__lo") + 1)
     )
     rated = chunks.groupBy("doc_id", "sent_idx").agg(F.round(F.max(chunk_rating), 4).alias("rating"))
-    all_sents = base.select("doc_id", "__nw", "sent_idx").distinct()
+    # r6 (guide §2.4): the sentence universe of a doc is exactly
+    # 0 .. (__nw − 1) div SENT_LEN — generate it from the per-doc token
+    # count instead of re-exploding every token and running a distinct
+    # over the 15M-row position relation (one exchange + one full
+    # explode pass removed; empty/null-text docs drop out identically
+    # because size() ≤ 0 never enters the old posexplode either)
+    all_sents = d.select(
+        "doc_id", F.size(toks).alias("__nw")
+    ).where(F.col("__nw") > 0).select(
+        "doc_id",
+        "__nw",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                ((F.col("__nw") - 1) / _LUHN_SENT_LEN).cast("long"),
+            )
+        ).alias("sent_idx"),
+    )
     rated_all = all_sents.join(rated, ["doc_id", "sent_idx"], "left").select(
         "doc_id",
         "sent_idx",

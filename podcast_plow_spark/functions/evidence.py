@@ -166,10 +166,19 @@ def classify_publication_type(publication_types: Sequence[str]) -> str:
     return "mechanistic"
 
 
+@lru_cache(maxsize=65536)
+def _classify_stance_cached(claim_text: str, title: str, abstract: str) -> str:
+    return classify_stance(claim_text, title, abstract)
+
+
 @pandas_udf(StringType())
 def classify_stance_udf(claim: pd.Series, title: pd.Series, abstract: pd.Series) -> pd.Series:
+    # r6 (guide §4.2): classify_stance is pure and evidence rows repeat
+    # (claim, title, abstract) triples heavily — one memoized call per
+    # DISTINCT triple turns the 1M-row batch loop into dict hits; at
+    # adversarial cardinality the LRU just degrades to the plain call
     return pd.Series(
-        [classify_stance(c, t, a) for c, t, a in zip(claim, title, abstract)]
+        [_classify_stance_cached(c, t, a) for c, t, a in zip(claim, title, abstract)]
     )
 
 

@@ -63,6 +63,15 @@ def get_spark(
         # frontier files on its timestamp component, not just priority
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r6 (optimization guide §3.1/§9): let the planner pick a
+        # shuffled-hash join when the per-partition build side fits —
+        # avoids sorting both sides of every big equi-join (sort-merge
+        # stays available for sides the estimator calls big); the AQE
+        # threshold additionally rewrites SMJ→SHJ at runtime from REAL
+        # post-shuffle sizes, which catches the aggregated/UDF-derived
+        # sides whose static estimates are inflated
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
