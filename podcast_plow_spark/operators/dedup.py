@@ -317,7 +317,10 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 def _ngram_pairs_uncapped(sh: DataFrame, id_col: str, jaccard_threshold: float) -> DataFrame:
     """Single-pass exact path over a (possibly cached) shingle relation:
-    inverted-index self-join → per-pair common count → jaccard gate."""
+    inverted-index self-join → per-pair common count → jaccard gate.
+    This path's n_common IS the emitted jaccard numerator, so the join
+    keys stay exact shingle strings (unlike the capped path's prune
+    counter, which may hash — its survivors are exact-verified)."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a_id"), "shingle")
     b = sh.select(F.col(id_col).alias("b_id"), "shingle")
@@ -370,11 +373,19 @@ def ngram_jaccard_pairs(
     capped = sh.join(F.broadcast(hot), ["shingle"], "left_anti")
 
     # pass 1 — map-side-combinable capped-common counts per pair (the
-    # same cheap shape as the uncapped single pass)
-    a = capped.select(F.col(id_col).alias("a_id"), "shingle")
-    b = capped.select(F.col(id_col).alias("b_id"), "shingle")
+    # same cheap shape as the uncapped single pass). r6 (guide §2.3
+    # "shuffle fewer bytes"): the join keys on xxhash64(shingle), not
+    # the ~30 B shingle string — this relation is the operator's
+    # biggest shuffle (2.4M rows per side, 67M joined rows at sf1.0).
+    # Soundness: a 64-bit collision can only INFLATE __cc, which only
+    # widens the upper bound below, which only admits extra survivors
+    # — and every survivor is exact-verified on the true string sets,
+    # so the emitted pairs and jaccards are unchanged.
+    key = F.xxhash64("shingle").alias("__k")
+    a = capped.select(F.col(id_col).alias("a_id"), key)
+    b = capped.select(F.col(id_col).alias("b_id"), key)
     cc = (
-        a.join(b, "shingle")
+        a.join(b, "__k")
         .where(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("__cc"))
