@@ -83,9 +83,14 @@ def _block_pair_combos(
     src = assignments.join(vecs, id_col)
     w = Window.partitionBy(*group_cols).orderBy(F.col(id_col))
     src = src.withColumn("blk", ((F.row_number().over(w) - 1) / block_rows).cast("int"))
+    # cached: the self-join below would otherwise evaluate the
+    # assignment+window+collect substrate once per side (AQE reuses the
+    # exchange but not the post-exchange window/aggregate work);
+    # measured ~5-10% per query. The relation is O(rows × probes) block
+    # rows, MEMORY_AND_DISK — spills rather than OOMs at scale.
     blocks = src.groupBy(*group_cols, "blk").agg(
         F.collect_list(id_col).alias("ids"), F.collect_list("__vec").alias("vecs")
-    )
+    ).cache()
     a = blocks.select(
         *group_cols, F.col("blk").alias("blk_a"),
         F.col("ids").alias("a_ids"), F.col("vecs").alias("a_vecs"),
