@@ -1570,8 +1570,23 @@ def q_stance_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("value") > 150, F.lit("no effect was observed"))\
         .otherwise(F.lit("results were inconclusive"))
     abstract = F.get_json_object(F.col("props"), "$.k").cast("string")
-    out = ev.select(classify_stance_udf(claim, title, abstract).alias("stance"))
-    return out.groupBy("stance").agg(F.count(F.lit(1)).alias("n")).orderBy("stance")
+    # r6 (guide §4.1/§2.3 "aggregate before you shuffle" applied to the
+    # Python boundary): the classifier is a pure function of the
+    # (claim, title, abstract) triple, so count triples in the JVM
+    # FIRST and classify only the distinct ones — the Arrow exchange
+    # and the Python loop see hundreds of rows instead of 1M; the
+    # stance totals (Σ per-triple counts) are identical by purity.
+    triples = (
+        ev.select(claim.alias("__c"), title.alias("__t"), abstract.alias("__a"))
+        .groupBy("__c", "__t", "__a")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    stanced = triples.withColumn(
+        "stance", classify_stance_udf(F.col("__c"), F.col("__t"), F.col("__a"))
+    )
+    return (
+        stanced.groupBy("stance").agg(F.sum("__cnt").alias("n")).orderBy("stance")
+    )
 
 
 def q_summarize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
